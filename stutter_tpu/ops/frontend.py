@@ -1,0 +1,121 @@
+"""Batched 149-dim feature extraction on TPU — the framework's hot path.
+
+Composes the spectral / delta / chroma ops into the reference's canonical
+149-dim feature contract (ref: pipeline1.py:206-265):
+
+  [mfcc mean(20) | mfcc std(20) | delta mean/std(40) | delta2 mean/std(40) |
+   chroma mean(12) | chroma std(12) | text(5)]
+
+One jit-compiled function per (batch, bucket-length) shape; clips are padded
+into sample-count buckets (multiples of the hop) so recompilation is bounded.
+All statistics are masked to each clip's true frame count, making the batched
+output equal to the per-clip NumPy oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stutter_tpu.ops.chroma import chroma_from_power, estimate_tuning_bin
+from stutter_tpu.ops.delta import sg_delta
+from stutter_tpu.ops.masked import frame_mask, masked_mean_std
+from stutter_tpu.ops.spectral import mel_power_to_db, mfcc_from_db, power_spectrogram
+
+# Sample-count buckets (multiples of hop=512) covering 0.45-10.1 s at 16 kHz.
+DEFAULT_BUCKETS = (24576, 49152, 98304, 163840)
+
+
+def _stat_pair(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] + [B, T] -> [B, 2C] (means then stds, ref pipeline1.py:220-221)."""
+    mean, std = masked_mean_std(x, mask, axis=1)
+    return jnp.concatenate([mean, std], axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sr", "n_fft", "hop_length", "n_mels", "n_mfcc", "n_chroma", "k_peaks"),
+)
+def extract_features_149_batch(
+    audio: jnp.ndarray,
+    lengths: jnp.ndarray,
+    sr: int = 16000,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_mels: int = 128,
+    n_mfcc: int = 20,
+    n_chroma: int = 12,
+    k_peaks: int = 128,
+) -> jnp.ndarray:
+    """audio [B, N] (zero-padded, N multiple of hop), lengths [B] -> [B, 149].
+
+    Text features are zeros (transcripts are always empty in the reference
+    corpus, SURVEY.md C6); callers with transcripts overwrite dims 144:149.
+    Clips with fewer than 9 valid frames (< 0.26 s) return all-zero vectors,
+    matching the reference's exception path (pipeline1.py:237-239).
+    """
+    power = power_spectrogram(audio, n_fft, hop_length)
+    mask = frame_mask(lengths, hop_length, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    n_valid = 1 + lengths // hop_length
+
+    db = mel_power_to_db(power, mask, sr, n_fft, n_mels)
+    mf = mfcc_from_db(db, n_mfcc)
+    d1 = sg_delta(mf, n_valid, order=1)
+    d2 = sg_delta(mf, n_valid, order=2)
+
+    tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma, k_peaks=k_peaks)
+    ch = chroma_from_power(power, tb, sr, n_fft, n_chroma)
+
+    feats = jnp.concatenate(
+        [
+            _stat_pair(mf, mask),
+            _stat_pair(d1, mask),
+            _stat_pair(d2, mask),
+            _stat_pair(ch, mask),
+            jnp.zeros((audio.shape[0], 5), jnp.float32),
+        ],
+        axis=-1,
+    )
+    ok = (n_valid >= 9)[:, None]
+    return jnp.where(ok, feats, 0.0).astype(jnp.float32)
+
+
+def pad_to_bucket(n: int, buckets=DEFAULT_BUCKETS, hop: int = 512) -> int:
+    """Smallest bucket >= n; clips beyond the largest bucket are truncated to it."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def extract_features_149_numpy(
+    clips: list[np.ndarray],
+    sr: int = 16000,
+    buckets=DEFAULT_BUCKETS,
+    batch_size: int = 256,
+) -> np.ndarray:
+    """Host convenience wrapper: list of 1-D float32 clips -> [n, 149] features.
+
+    Groups clips by bucket, pads, runs the jitted batched extractor, and
+    restores the original order.
+    """
+    out = np.zeros((len(clips), 149), np.float32)
+    by_bucket: dict[int, list[int]] = {}
+    for i, y in enumerate(clips):
+        by_bucket.setdefault(pad_to_bucket(len(y), buckets), []).append(i)
+    for bucket, idxs in by_bucket.items():
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s : s + batch_size]
+            batch = np.zeros((len(chunk), bucket), np.float32)
+            lens = np.zeros(len(chunk), np.int32)
+            for j, i in enumerate(chunk):
+                y = clips[i][:bucket]
+                batch[j, : len(y)] = y
+                lens[j] = len(y)
+            feats = extract_features_149_batch(jnp.asarray(batch), jnp.asarray(lens), sr=sr)
+            out[chunk] = np.asarray(feats)
+    return out

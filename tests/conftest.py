@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The env var alone is not honored in every environment (platform plugins can
+# override); force it through the config API before any computation runs.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import glob
 from pathlib import Path
 
