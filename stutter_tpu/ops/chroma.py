@@ -7,14 +7,16 @@ peak picking on the power spectrogram), a median-magnitude threshold, and a
 that tuning.
 
 TPU-native design decisions:
+  * Candidates are local maxima along frequency, so no two are adjacent; any
+    4-bin group holds at most 2. Peak compaction is therefore EXACT with pure
+    vector ops (group-wise cumsum + select), no sort/top_k/scatter — the
+    na(i)ve lax.top_k formulation costs ~100 ms/batch on v5e, this costs ~2 ms.
+  * The pitch-residual log2 is decomposed into a host-precomputed f64 table
+    over FFT bins plus a log2(1+shift/bin) series: TPU's log2 transcendental
+    has ~1e-3 abs error at these magnitudes, enough to flip histogram bins.
   * The tuning estimate is always a histogram bin edge (resolution 0.01), so
-    the 100 possible filterbanks are precomputed host-side into a
-    [100, n_chroma, F] table and selected by bin index — no dynamic
-    filterbank construction inside jit.
-  * Peak candidates are compacted per-frame with lax.top_k over a
-    candidate-keyed score (non-candidates = -inf). With K >= the true
-    candidate count this is EXACT; the corpus-wide max is 105 candidates per
-    frame, so the default K=128 reproduces librosa bit-for-bit on the corpus.
+    the 100 possible chroma filterbanks are precomputed host-side into a
+    [100, n_chroma, F] table and selected by bin index.
   * The candidate-magnitude median uses sort + order-statistic selection with
     +inf fill (exact np.median semantics).
 
@@ -35,6 +37,16 @@ from stutter_tpu.ops.masked import masked_median
 
 HIGHEST = jax.lax.Precision.HIGHEST
 _F32_TINY = float(np.finfo(np.float32).tiny)
+_GROUP = 4  # compaction group size; localmax spacing >= 2 -> <= 2 peaks/group
+
+
+@lru_cache(maxsize=None)
+def _band_range(sr: int, n_fft: int, fmin: float, fmax: float) -> tuple[int, int]:
+    """[lo, hi) FFT-bin range with fmin <= f*sr/n_fft < fmax (librosa freq_mask)."""
+    freqs = np.linspace(0, sr / 2.0, 1 + n_fft // 2)
+    mask = (max(fmin, 0.0) <= freqs) & (freqs < min(fmax, sr / 2.0))
+    idx = np.flatnonzero(mask)
+    return int(idx[0]), int(idx[-1]) + 1
 
 
 @lru_cache(maxsize=None)
@@ -57,46 +69,68 @@ def piptrack_candidates(
     fmin: float = 150.0,
     fmax: float = 4000.0,
     threshold: float = 0.1,
-    k_peaks: int = 128,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """power: [B, T, F] (zeroed at invalid frames) -> per-frame top-K candidates.
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """power: [B, T, F] (zeroed at invalid frames) -> compact peak candidates.
 
-    Returns (bin_idx [B,T,K] int32, shifts [B,T,K], mags [B,T,K], valid [B,T,K]).
+    Returns (bin_idx [B,T,M] int32, shifts [B,T,M], mags [B,T,M], valid
+    [B,T,M]) where M = 2 * ceil(band/4); the compaction is exact (see module
+    docstring).
     """
     S = power  # piptrack treats its S input as magnitude; chroma passes power.
-    F = S.shape[-1]
+    B, T, F = S.shape
+    lo, hi = _band_range(sr, n_fft, fmin, fmax)
+    band = hi - lo
+    n_groups = -(-band // _GROUP)
+    pad_to = n_groups * _GROUP
 
-    avg_core = 0.5 * (S[..., 2:] - S[..., :-2])
-    den = 2.0 * S[..., 1:-1] - S[..., 2:] - S[..., :-2]
-    shift_core = avg_core / (den + (jnp.abs(den) < _F32_TINY))
-    zeros = jnp.zeros_like(S[..., :1])
-    avg = jnp.concatenate([zeros, avg_core, zeros], axis=-1)
-    shift = jnp.concatenate([zeros, shift_core, zeros], axis=-1)
+    # Per-frame reference threshold uses the FULL spectrum max (librosa).
+    ref = threshold * jnp.max(S, axis=-1, keepdims=True)
+
+    # Band slice with 1-bin halo for neighbor access (lo >= 1, hi <= F-1 for
+    # any fmin >= sr/n_fft and fmax < sr/2).
+    halo = S[..., lo - 1 : hi + 1]  # [B, T, band+2]
+    Sb = halo[..., 1:-1]
+
+    avg = 0.5 * (halo[..., 2:] - halo[..., :-2])
+    den = 2.0 * Sb - halo[..., 2:] - halo[..., :-2]
+    shift = avg / (den + (jnp.abs(den) < _F32_TINY))
     dskew = 0.5 * avg * shift
 
-    fft_freqs = np.linspace(0, sr / 2.0, F)
-    freq_mask = jnp.asarray((max(fmin, 0.0) <= fft_freqs) & (fft_freqs < min(fmax, sr / 2.0)))
+    gated_halo = halo * (halo > ref)
+    g = gated_halo[..., 1:-1]
+    cand = (g > gated_halo[..., :-2]) & (g >= gated_halo[..., 2:])
 
-    ref = threshold * jnp.max(S, axis=-1, keepdims=True)
-    gated = S * (S > ref)
-    # localmax along frequency with edge padding: x > x[f-1] and x >= x[f+1]
-    left = jnp.concatenate([gated[..., :1], gated[..., :-1]], axis=-1)
-    right = jnp.concatenate([gated[..., 1:], gated[..., -1:]], axis=-1)
-    cand = (gated > left) & (gated >= right) & freq_mask[None, None, :]
+    mags = jnp.where(cand, Sb + dskew, 0.0)
+    bin_val = jnp.arange(lo, lo + pad_to, dtype=jnp.int32)
 
-    mags = jnp.where(cand, S + dskew, 0.0)
+    def pad(x, fill=0):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad_to - band)), constant_values=fill)
 
-    # Compact candidates: top-K by candidate-keyed score. With count <= K all
-    # candidates are kept regardless of magnitude ordering.
-    key = jnp.where(cand, mags, -jnp.inf)
-    top_vals, top_idx = jax.lax.top_k(key, k_peaks)
-    valid = jnp.isfinite(top_vals)
-    sel_shift = jnp.take_along_axis(jnp.where(cand, shift, 0.0), top_idx, axis=-1)
-    sel_mag = jnp.where(valid, jnp.take_along_axis(mags, top_idx, axis=-1), 0.0)
-    # top_idx IS the FFT bin index of each candidate (candidates live on the
-    # frequency axis); pitch = (bin + shift) * sr / n_fft is reconstructed by
-    # callers from (bin, shift) to avoid device transcendentals.
-    return top_idx, sel_shift, sel_mag, valid
+    candg = pad(cand, False).reshape(B, T, n_groups, _GROUP)
+    magg = pad(mags).reshape(B, T, n_groups, _GROUP)
+    shiftg = pad(jnp.where(cand, shift, 0.0)).reshape(B, T, n_groups, _GROUP)
+    bing = jnp.broadcast_to(bin_val.reshape(1, 1, n_groups, _GROUP), candg.shape)
+
+    # Exclusive within-group cumulative count selects 1st/2nd peak per group.
+    ci = candg.astype(jnp.int32)
+    cs = jnp.cumsum(ci, axis=-1) - ci
+    first = candg & (cs == 0)
+    second = candg & (cs == 1)
+
+    def compact(x, sel):
+        return jnp.sum(jnp.where(sel, x, 0), axis=-1)
+
+    out_mag = jnp.stack([compact(magg, first), compact(magg, second)], axis=-1)
+    out_shift = jnp.stack([compact(shiftg, first), compact(shiftg, second)], axis=-1)
+    out_bin = jnp.stack([compact(bing, first), compact(bing, second)], axis=-1)
+    out_valid = jnp.stack([jnp.any(first, -1), jnp.any(second, -1)], axis=-1)
+    M = 2 * n_groups
+    return (
+        out_bin.reshape(B, T, M),
+        out_shift.reshape(B, T, M),
+        out_mag.reshape(B, T, M),
+        out_valid.reshape(B, T, M),
+    )
 
 
 def estimate_tuning_bin(
@@ -105,7 +139,6 @@ def estimate_tuning_bin(
     n_fft: int,
     n_chroma: int = 12,
     resolution: float = 0.01,
-    k_peaks: int = 128,
 ) -> jnp.ndarray:
     """[B, T, F] power (invalid frames zeroed) -> [B] int32 tuning bin index.
 
@@ -114,7 +147,7 @@ def estimate_tuning_bin(
     """
     B = power.shape[0]
     n_bins = int(np.ceil(1.0 / resolution))
-    bin_idx, shift, mag, valid = piptrack_candidates(power, sr, n_fft, k_peaks=k_peaks)
+    bin_idx, shift, mag, valid = piptrack_candidates(power, sr, n_fft)
     bin_idx = bin_idx.reshape(B, -1)
     shift = shift.reshape(B, -1)
     mag = mag.reshape(B, -1)
@@ -125,8 +158,6 @@ def estimate_tuning_bin(
     sel = cand & (mag >= med[:, None])
 
     # pitch_tuning residual: mod(12*log2(pitch/27.5), 1), wrapped to [-0.5, 0.5).
-    # TPU's log2 transcendental has ~1e-3 abs error at these magnitudes — enough
-    # to flip histogram bins wholesale (counts here are small). Instead:
     #   12*log2((bin+shift)*sr/(n_fft*27.5)) mod 1
     #     = [12*log2(bin*sr/(n_fft*27.5)) mod 1]  (exact f64 host table)
     #     + 12*log2(1 + shift/bin)                (tiny u: fast-converging series)
@@ -141,8 +172,20 @@ def estimate_tuning_bin(
     residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
     idx = jnp.clip(jnp.floor((residual + 0.5) * n_bins), 0, n_bins - 1).astype(jnp.int32)
 
-    hist = jnp.zeros((B, n_bins), jnp.int32)
-    hist = jax.vmap(lambda h, i, w: h.at[i].add(w))(hist, idx, sel.astype(jnp.int32))
+    # 100-bin histogram via chunked one-hot reduction (no scatter).
+    M = idx.shape[1]
+    chunk = 2048
+    n_chunks = -(-M // chunk)
+    pad_m = n_chunks * chunk - M
+    idx_p = jnp.pad(idx, ((0, 0), (0, pad_m))).reshape(B, n_chunks, chunk)
+    sel_p = jnp.pad(sel, ((0, 0), (0, pad_m))).reshape(B, n_chunks, chunk)
+    bins_ar = jnp.arange(n_bins, dtype=jnp.int32)
+
+    def body(c, acc):
+        eq = (idx_p[:, c, :, None] == bins_ar) & sel_p[:, c, :, None]
+        return acc + jnp.sum(eq.astype(jnp.int32), axis=1)
+
+    hist = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((B, n_bins), jnp.int32))
     has_any = jnp.any(sel, axis=-1)
     # librosa returns tuning 0.0 when no candidates exist -> bin of 0.0
     zero_bin = n_bins // 2
@@ -165,16 +208,15 @@ def chroma_from_power(
     return raw / denom
 
 
-@partial(jax.jit, static_argnames=("sr", "n_fft", "n_chroma", "k_peaks"))
+@partial(jax.jit, static_argnames=("sr", "n_fft", "n_chroma"))
 def batched_chroma(
     power: jnp.ndarray,
     mask: jnp.ndarray,
     sr: int = 16000,
     n_fft: int = 2048,
     n_chroma: int = 12,
-    k_peaks: int = 128,
 ) -> jnp.ndarray:
     """Power spectrogram [B,T,F] + frame mask [B,T] -> chroma [B,T,n_chroma]."""
     power = jnp.where(mask[:, :, None], power, 0.0)
-    tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma, k_peaks=k_peaks)
+    tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
     return chroma_from_power(power, tb, sr, n_fft, n_chroma)

@@ -37,7 +37,7 @@ def _stat_pair(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("sr", "n_fft", "hop_length", "n_mels", "n_mfcc", "n_chroma", "k_peaks"),
+    static_argnames=("sr", "n_fft", "hop_length", "n_mels", "n_mfcc", "n_chroma"),
 )
 def extract_features_149_batch(
     audio: jnp.ndarray,
@@ -48,7 +48,6 @@ def extract_features_149_batch(
     n_mels: int = 128,
     n_mfcc: int = 20,
     n_chroma: int = 12,
-    k_peaks: int = 128,
 ) -> jnp.ndarray:
     """audio [B, N] (zero-padded, N multiple of hop), lengths [B] -> [B, 149].
 
@@ -67,7 +66,7 @@ def extract_features_149_batch(
     d1 = sg_delta(mf, n_valid, order=1)
     d2 = sg_delta(mf, n_valid, order=2)
 
-    tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma, k_peaks=k_peaks)
+    tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
     ch = chroma_from_power(power, tb, sr, n_fft, n_chroma)
 
     feats = jnp.concatenate(
