@@ -1,0 +1,87 @@
+"""Corpus discovery, labels, and the feature-cache contract.
+
+Reproduces the reference's filesystem contract (SURVEY.md L0/C2/C10):
+  * labels come from the parent directory name under segrigated_samples/
+    (ref: pipeline1.py:372)
+  * cached features are cache_features/<stem>_{raw|clean}_feats.npy,
+    float32, shape (149,) — keyed by STEM ONLY (ref: pipeline1.py:429-440)
+  * 16 of 905 stems occur in more than one class folder; the stem-keyed cache
+    aliases those across classes. We reproduce the reference's effective
+    behavior (first-written vector wins for every duplicate stem) and surface
+    the collisions via `find_stem_collisions`.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from stutter_tpu.config import DataConfig
+
+
+def list_audio_files(root: str, exts=(".wav", ".mp3", ".flac", ".m4a", ".ogg")) -> list[str]:
+    """Recursive, extension-filtered, sorted (ref: pipeline1.py:91-97)."""
+    files = []
+    for r, _, fs in os.walk(root):
+        for f in fs:
+            if f.lower().endswith(tuple(exts)):
+                files.append(os.path.join(r, f))
+    return sorted(files)
+
+
+def label_of(path: str) -> str:
+    """Class label = parent directory name (ref: pipeline1.py:372)."""
+    return os.path.basename(os.path.dirname(path)) or "unknown"
+
+
+def cache_path(cache_dir: str, audio_path: str, suffix: str) -> str:
+    """cache_features/<stem>_{raw|clean}_feats.npy (ref: pipeline1.py:431-432)."""
+    stem = Path(audio_path).stem
+    return os.path.join(cache_dir, f"{stem}_{suffix}_feats.npy")
+
+
+def find_stem_collisions(root: str) -> dict[str, list[str]]:
+    """Stems that appear under more than one class folder (cache-aliasing hazard)."""
+    seen: dict[str, set[str]] = {}
+    for f in list_audio_files(root):
+        seen.setdefault(Path(f).stem, set()).add(label_of(f))
+    return {s: sorted(ls) for s, ls in seen.items() if len(ls) > 1}
+
+
+def load_cached_corpus(
+    data: DataConfig | None = None,
+    root: str | None = None,
+    suffixes: tuple[str, ...] = ("raw", "clean"),
+    feature_len: int = 149,
+) -> dict:
+    """Walk the corpus and assemble X matrices from the feature cache.
+
+    Mirrors the reference's training-data assembly (pipeline1.py:447-456):
+    one row per audio file in sorted order; rows whose cache entry is missing
+    get zeros (the reference would recompute; loaders that can decode should
+    call the extractor for misses instead).
+
+    Returns {"files": [...], "labels": [...], "X_<suffix>": np.ndarray}.
+    """
+    data = data or DataConfig()
+    root = root or "."
+    audio_root = os.path.join(root, data.data_dir)
+    cache_dir = os.path.join(root, data.cache_dir)
+    files = list_audio_files(audio_root, data.audio_exts)
+    labels = [label_of(f) for f in files]
+    out: dict = {"files": files, "labels": labels}
+    for suffix in suffixes:
+        X = np.zeros((len(files), feature_len), np.float32)
+        missing = 0
+        for i, f in enumerate(files):
+            p = cache_path(cache_dir, f, suffix)
+            if os.path.exists(p):
+                v = np.load(p)
+                X[i, : min(len(v), feature_len)] = v[:feature_len]
+            else:
+                missing += 1
+        out[f"X_{suffix}"] = X
+        out[f"missing_{suffix}"] = missing
+    return out
