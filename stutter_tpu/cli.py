@@ -1,0 +1,119 @@
+"""Command-line interface — the framework's user surface.
+
+The reference's UI is three Streamlit apps (`streamlit run main.py`, SURVEY.md
+C22/C24); the TPU framework exposes the same capabilities as subcommands:
+
+  python -m stutter_tpu preprocess   --root WORKDIR     # clean + QC csv
+  python -m stutter_tpu extract      --root WORKDIR     # corpus feature cache
+  python -m stutter_tpu train        --root WORKDIR     # 5-fold CV + persist (engine B)
+  python -m stutter_tpu train-ab     --root WORKDIR     # before/after comparison (engine A)
+  python -m stutter_tpu predict FILE --root WORKDIR     # single-file inference
+  python -m stutter_tpu stream  FILE --root WORKDIR     # windowed streaming inference
+  python -m stutter_tpu bench                           # throughput benchmark
+
+mirroring the extract-features / train / predict entry points named in
+BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="stutter_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_root(p):
+        p.add_argument("--root", default=".", help="workspace with segrigated_samples/ etc.")
+        p.add_argument("--variant", default="149", choices=["149", "334"])
+
+    p = sub.add_parser("preprocess", help="denoise corpus + per-file QC analysis")
+    add_root(p)
+    p = sub.add_parser("extract", help="(re)generate the feature cache on TPU")
+    add_root(p)
+    p.add_argument("--suffix", default="clean", choices=["raw", "clean", "both"])
+    p = sub.add_parser("train", help="5-fold CV table + persist production model")
+    add_root(p)
+    p.add_argument("--no-host", action="store_true", help="skip sklearn baselines")
+    p = sub.add_parser("train-ab", help="before/after cleaning comparison")
+    add_root(p)
+    p = sub.add_parser("predict", help="classify one audio file")
+    add_root(p)
+    p.add_argument("file")
+    p.add_argument("--no-denoise", action="store_true")
+    p = sub.add_parser("stream", help="windowed streaming inference over a long file")
+    add_root(p)
+    p.add_argument("file")
+    p.add_argument("--window", type=float, default=3.0)
+    p.add_argument("--hop", type=float, default=1.0)
+    p = sub.add_parser("bench", help="run the throughput benchmark")
+
+    args = ap.parse_args(argv)
+
+    from stutter_tpu.config import FEATURES_149, FEATURES_334, PipelineConfig
+
+    if args.cmd != "bench":
+        feats = FEATURES_334 if getattr(args, "variant", "149") == "334" else FEATURES_149
+        cfg = PipelineConfig(features=feats)
+
+    if args.cmd == "preprocess":
+        from stutter_tpu.pipeline import preprocess, setup_logging
+
+        setup_logging(os.path.join(args.root, cfg.data.output_dir))
+        rows = preprocess(args.root, cfg)
+        print(f"processed {len(rows)} files -> per_file_analysis.csv")
+    elif args.cmd == "extract":
+        from stutter_tpu.pipeline import extract_corpus
+
+        suffixes = ["raw", "clean"] if args.suffix == "both" else [args.suffix]
+        for sfx in suffixes:
+            X, labels, files = extract_corpus(args.root, cfg, sfx)
+            print(f"{sfx}: {X.shape[0]} vectors x {X.shape[1]} dims cached")
+    elif args.cmd == "train":
+        from stutter_tpu.pipeline import run_cv, setup_logging
+
+        setup_logging(os.path.join(args.root, cfg.data.output_dir))
+        res = run_cv(args.root, cfg, include_host=not args.no_host)
+        for row in res["final_rows"]:
+            print(
+                f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '
+                f'P={row["Precision (%)"]:.1f} R={row["Recall (%)"]:.1f} '
+                f'F1={row["F1-Score (%)"]:.1f}'
+            )
+    elif args.cmd == "train-ab":
+        from stutter_tpu.pipeline import run_before_after, setup_logging
+
+        setup_logging(os.path.join(args.root, cfg.data.output_dir))
+        res = run_before_after(args.root, cfg)
+        for m in res["metrics"]:
+            print(
+                f'{m["dataset"]:7s} {m["model"]:14s} acc={m["accuracy"]:.2f}% '
+                f'loss={m["test_loss"]:.4f}'
+            )
+    elif args.cmd == "predict":
+        from stutter_tpu.infer import Predictor
+
+        pred = Predictor.load(os.path.join(args.root, cfg.data.output_dir), cfg)
+        pred.denoise_first = not args.no_denoise
+        print(json.dumps(pred.predict_file(args.file), indent=2))
+    elif args.cmd == "stream":
+        from stutter_tpu.infer import Predictor
+        from stutter_tpu.io.wav import load_mono
+
+        pred = Predictor.load(os.path.join(args.root, cfg.data.output_dir), cfg)
+        y, sr = load_mono(args.file, sr=cfg.features.frontend.sample_rate)
+        for w in pred.predict_stream(y, sr, window_s=args.window, hop_s=args.hop):
+            print(f'{w["start_s"]:7.2f}-{w["end_s"]:7.2f}s  {w["label"]}')
+    elif args.cmd == "bench":
+        import subprocess
+
+        return subprocess.call([sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

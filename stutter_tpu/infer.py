@@ -1,0 +1,142 @@
+"""Inference service (C21): single-file predict + streaming windowed inference.
+
+Mirrors the reference's upload-predict path (ref: main.py:1011-1035,
+main1.py:952-999): clean -> extract -> shape guard -> scale -> predict with
+per-class probabilities.  Adds the TPU-native streaming mode from
+BASELINE.json config #5: overlapping 3 s windows, batch-256 on-device
+extraction + classification, with double-buffered host->device transfer so
+feature extraction of batch k+1 overlaps classification of batch k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+
+import numpy as np
+
+from stutter_tpu.config import DenoiseConfig, PipelineConfig
+from stutter_tpu.denoise import denoise_clips
+from stutter_tpu.io.wav import load_mono
+from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
+from stutter_tpu.ops.frontend import extract_features_149_numpy
+from stutter_tpu.train.trainer import FittedMLP
+
+
+@dataclasses.dataclass
+class Predictor:
+    """Loaded artifacts for serving (ref pickles -> our npz/json, persist.py)."""
+
+    scaler: StandardScaler
+    label_encoder: LabelEncoder
+    model: FittedMLP
+    cfg: PipelineConfig = PipelineConfig()
+    denoise_first: bool = True
+
+    @classmethod
+    def load(cls, output_dir: str, cfg: PipelineConfig = PipelineConfig()) -> "Predictor":
+        from stutter_tpu import persist
+
+        return cls(
+            scaler=persist.load_scaler(os.path.join(output_dir, "scaler_after.npz")),
+            label_encoder=persist.load_label_encoder(
+                os.path.join(output_dir, "label_encoder.json")
+            ),
+            model=persist.load_mlp(os.path.join(output_dir, "model_mlp_tpu")),
+            cfg=cfg,
+        )
+
+    def predict_clip(self, y: np.ndarray, sr: int = 16000) -> dict:
+        """One clip -> {label, proba: {class: p}}; the full reference path:
+        denoise -> extract -> shape guard -> scale -> predict."""
+        if self.denoise_first:
+            y = denoise_clips([y], self.cfg.denoise)[0]
+        feats = extract_features_149_numpy([y], sr=sr)[0]
+        # shape guard (ref: main1.py:976-981)
+        if feats.shape[0] != self.scaler.n_features_in_:
+            raise ValueError(
+                f"feature length {feats.shape[0]} != scaler expects "
+                f"{self.scaler.n_features_in_}; retrain or clear stale artifacts"
+            )
+        x = self.scaler.transform(feats[None, :]).astype(np.float32)
+        proba = self.model.predict_proba(x)[0]
+        pred = int(np.argmax(proba))
+        return {
+            "label": self.label_encoder.classes_[pred],
+            "proba": {c: float(p) for c, p in zip(self.label_encoder.classes_, proba)},
+        }
+
+    def predict_file(self, path: str) -> dict:
+        y, sr = load_mono(path, sr=self.cfg.features.frontend.sample_rate)
+        return self.predict_clip(y, sr)
+
+    # ------------------------------------------------------------------
+    # Streaming windowed inference (BASELINE.json config #5)
+    # ------------------------------------------------------------------
+
+    def predict_stream(
+        self,
+        y: np.ndarray,
+        sr: int = 16000,
+        window_s: float = 3.0,
+        hop_s: float = 1.0,
+        batch_size: int = 256,
+    ) -> list[dict]:
+        """Long audio -> per-window predictions via overlapping windows.
+
+        Windows are extracted+classified in device batches; the host
+        prepares batch k+1 while batch k computes (double buffering via
+        JAX async dispatch).
+        """
+        import jax.numpy as jnp
+
+        from stutter_tpu.ops.frontend import extract_features_149_batch
+        from stutter_tpu.train.trainer import predict_proba_grid
+
+        win = int(window_s * sr)
+        win = -(-win // 512) * 512  # hop-multiple bucket
+        hop = int(hop_s * sr)
+        starts = list(range(0, max(len(y) - win // 2, 1), hop))
+        results: list[dict] = []
+        pending = []  # (starts_chunk, device_future)
+
+        def flush(starts_chunk, probs):
+            probs = np.asarray(probs)
+            for s0, p in zip(starts_chunk, probs):
+                pred = int(np.argmax(p))
+                results.append(
+                    {
+                        "start_s": s0 / sr,
+                        "end_s": min(s0 + win, len(y)) / sr,
+                        "label": self.label_encoder.classes_[pred],
+                        "proba": {
+                            c: float(v) for c, v in zip(self.label_encoder.classes_, p)
+                        },
+                    }
+                )
+
+        mean = jnp.asarray(self.scaler.mean_)
+        scale = jnp.asarray(self.scaler.scale_)
+
+        for s in range(0, len(starts), batch_size):
+            chunk = starts[s : s + batch_size]
+            batch = np.zeros((len(chunk), win), np.float32)
+            lens = np.zeros(len(chunk), np.int32)
+            for j, s0 in enumerate(chunk):
+                seg = y[s0 : s0 + win]
+                batch[j, : len(seg)] = seg
+                lens[j] = len(seg)
+            feats = extract_features_149_batch(jnp.asarray(batch), jnp.asarray(lens), sr=sr)
+            xs = (feats - mean) / scale
+            probs = predict_proba_grid(
+                self.model.params,
+                jnp.broadcast_to(xs, (self.model.n_seeds, *xs.shape)),
+            ).mean(axis=0)
+            # async dispatch: keep one batch in flight
+            pending.append((chunk, probs))
+            if len(pending) > 1:
+                flush(*pending.pop(0))
+        for item in pending:
+            flush(*item)
+        return results

@@ -1,0 +1,108 @@
+"""Model persistence (C20).
+
+The reference persists scaler/label-encoder/RF via joblib pickles
+(ref: main.py:889-890, 948; consumed at main1.py:983-985).  Here:
+  * TPU-native artifacts (scaler arrays, label classes, MLP param pytrees)
+    are saved as .npz + JSON sidecars — portable, pickle-free.
+  * sklearn baselines still round-trip through joblib with the reference's
+    exact filenames (model_rf.pkl, scaler_after.pkl, label_encoder.pkl) so a
+    user of the reference can consume our output directory unchanged.
+  * Orbax is used for training-state checkpoints (see train.trainer callers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
+
+
+def _flatten_params(params: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten_params(v, key + "/"))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten_params(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_mlp(path: str | Path, fitted) -> None:
+    """Save a FittedMLP (params + config) to <path>.npz / <path>.json."""
+    path = str(path)
+    np.savez(path + ".npz", **_flatten_params(fitted.params))
+    meta = {
+        "n_seeds": fitted.n_seeds,
+        "hidden": list(fitted.cfg.hidden),
+        "n_classes": fitted.cfg.n_classes,
+    }
+    Path(path + ".json").write_text(json.dumps(meta))
+
+
+def load_mlp(path: str | Path):
+    from stutter_tpu.train.trainer import FittedMLP, MLPTrainConfig
+
+    path = str(path)
+    flat = dict(np.load(path + ".npz"))
+    meta = json.loads(Path(path + ".json").read_text())
+    cfg = MLPTrainConfig(hidden=tuple(meta["hidden"]), n_classes=meta["n_classes"])
+    import jax.numpy as jnp
+
+    params = {k: jnp.asarray(v) for k, v in _unflatten_params(flat).items()}
+    return FittedMLP(params=params, n_seeds=meta["n_seeds"], cfg=cfg)
+
+
+def save_scaler(path: str | Path, scaler: StandardScaler) -> None:
+    np.savez(str(path), **scaler.to_arrays())
+
+
+def load_scaler(path: str | Path) -> StandardScaler:
+    return StandardScaler.from_arrays(dict(np.load(str(path))))
+
+
+def save_label_encoder(path: str | Path, le: LabelEncoder) -> None:
+    Path(path).write_text(json.dumps({"classes": le.classes_}))
+
+
+def load_label_encoder(path: str | Path) -> LabelEncoder:
+    return LabelEncoder(classes_=json.loads(Path(path).read_text())["classes"])
+
+
+def save_sklearn_artifacts(output_dir: str, scaler=None, le=None, rf=None) -> None:
+    """Reference-compatible pickles (ref filenames, main.py:889-890, 948)."""
+    try:
+        import joblib
+    except Exception:
+        return
+    os.makedirs(output_dir, exist_ok=True)
+    if scaler is not None:
+        joblib.dump(scaler, os.path.join(output_dir, "scaler_after.pkl"))
+    if le is not None:
+        joblib.dump(le, os.path.join(output_dir, "label_encoder.pkl"))
+    if rf is not None:
+        joblib.dump(rf, os.path.join(output_dir, "model_rf.pkl"))
+
+
+def clear_stale_artifacts(output_dir: str) -> None:
+    """Delete stale model pickles at startup (ref: main1.py:795-799) so
+    feature-shape drift fails loudly instead of misclassifying."""
+    for name in ("model_rf.pkl", "scaler_after.pkl", "label_encoder.pkl"):
+        p = os.path.join(output_dir, name)
+        if os.path.exists(p):
+            os.unlink(p)

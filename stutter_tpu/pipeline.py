@@ -1,0 +1,411 @@
+"""End-to-end pipeline drivers — the framework's run_pipeline equivalents.
+
+Three entry points mirror the reference's three app variants (SURVEY.md §0):
+  * preprocess():          clean + per-file QC -> per_file_analysis.csv
+                           (ref pipeline1.py:371-424, main.py:842-867)
+  * run_before_after():    engine A — 80/20 split, raw-vs-clean comparison
+                           (ref pipeline1.py:462-637)
+  * run_cv():              engine B — 5-fold CV production table
+                           (ref main.py:872-1006)
+
+Differences from the reference, by design:
+  * No Streamlit: these are library functions with CSV/log artifacts; the CLI
+    (stutter_tpu.cli) and serving (stutter_tpu.infer) are the interfaces.
+  * Feature extraction and QC metrics run batched on TPU.
+  * The TPU seed-ensembled MLP ("MLP-TPU") is always evaluated alongside the
+    host sklearn zoo; it is the production model.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from stutter_tpu import evals
+from stutter_tpu.cache import FeatureCache
+from stutter_tpu.config import DenoiseConfig, PipelineConfig
+from stutter_tpu.data import label_of, list_audio_files
+from stutter_tpu.denoise import denoise_clips
+from stutter_tpu.io.wav import load_mono, write_wav
+from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
+from stutter_tpu.ops.frontend import extract_features_149_numpy
+from stutter_tpu.train.splits import stratified_kfold, stratified_train_test_split
+from stutter_tpu.train.trainer import FittedMLP, MLPTrainConfig, cross_validate_mlp, fit_mlp
+
+log = logging.getLogger("stutter_tpu.pipeline")
+
+
+def setup_logging(output_dir: str) -> None:
+    """File logging like the reference (ref: main.py:573-577)."""
+    os.makedirs(output_dir, exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(output_dir, "pipeline.log"),
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+    )
+
+
+def _load_clip(path: str, sr: int) -> np.ndarray | None:
+    """Degrade-don't-crash loader (ref: pipeline1.py:100-106). WAV only: this
+    environment has no mp3 decoder; non-WAV inputs log and skip."""
+    try:
+        y, _ = load_mono(path, sr=sr)
+        return y
+    except Exception as e:  # noqa: BLE001
+        log.error("load_audio fail %s: %s", path, e)
+        return None
+
+
+def preprocess(root: str = ".", cfg: PipelineConfig = PipelineConfig()) -> list[dict]:
+    """Clean every corpus clip (cached in clear_audio/) and compute QC metrics
+    before/after -> per_file_analysis.csv rows.  Returns the row dicts."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.frontend import pad_to_bucket
+    from stutter_tpu.ops.qc import qc_metrics_batch
+
+    data = cfg.data
+    sr = cfg.features.frontend.sample_rate
+    audio_root = os.path.join(root, data.data_dir)
+    clear_dir = os.path.join(root, data.clear_dir)
+    out_dir = os.path.join(root, data.output_dir)
+    os.makedirs(clear_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    files = list_audio_files(audio_root, data.audio_exts)
+    rows, skipped = [], 0
+    pending: list[tuple[str, str, np.ndarray]] = []
+    for f in files:
+        y = _load_clip(f, sr)
+        if y is None:
+            skipped += 1
+            continue
+        pending.append((f, label_of(f), y))
+
+    def qc_of(clips: list[np.ndarray]) -> dict[str, np.ndarray]:
+        out = {"snr_db": [], "spectral_flatness": [], "hf_energy_ratio": []}
+        for y in clips:
+            bucket = pad_to_bucket(len(y))
+            buf = np.zeros((1, bucket), np.float32)
+            buf[0, : len(y)] = y[:bucket]
+            m = qc_metrics_batch(jnp.asarray(buf), jnp.asarray([min(len(y), bucket)], np.int32), sr)
+            for k in out:
+                out[k].append(float(np.asarray(m[k])[0]))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    raw_clips = [y for _, _, y in pending]
+    # clean (idempotent via clear_audio cache, ref pipeline1.py:131-135)
+    cleaned_clips = []
+    to_denoise_idx, to_denoise = [], []
+    for i, (f, _, y) in enumerate(pending):
+        cached = os.path.join(clear_dir, Path(f).stem + ".wav")
+        if os.path.exists(cached):
+            cleaned_clips.append(_load_clip(cached, sr))
+        else:
+            cleaned_clips.append(None)
+            to_denoise_idx.append(i)
+            to_denoise.append(y)
+    if to_denoise:
+        denoised = denoise_clips(to_denoise, cfg.denoise)
+        for i, d in zip(to_denoise_idx, denoised):
+            f = pending[i][0]
+            out_path = os.path.join(clear_dir, Path(f).stem + ".wav")
+            write_wav(out_path, d, sr)
+            cleaned_clips[i], _ = load_mono(out_path, sr=sr)  # round-trip 16-bit
+
+    qc_before = qc_of(raw_clips)
+    qc_after = qc_of([c if c is not None else r for c, r in zip(cleaned_clips, raw_clips)])
+
+    for i, (f, label, y) in enumerate(pending):
+        rows.append(
+            {
+                "file": os.path.basename(f),
+                "label": label,
+                "duration_sec": len(y) / sr,
+                "snr_before_db": qc_before["snr_db"][i],
+                "snr_after_db": qc_after["snr_db"][i],
+                "spectral_flatness_before": qc_before["spectral_flatness"][i],
+                "spectral_flatness_after": qc_after["spectral_flatness"][i],
+                "hf_energy_ratio_before": qc_before["hf_energy_ratio"][i],
+                "hf_energy_ratio_after": qc_after["hf_energy_ratio"][i],
+                "transcript": "",
+            }
+        )
+    log.info("preprocessed %d files, skipped %d", len(rows), skipped)
+    evals._write_csv(
+        os.path.join(out_dir, "per_file_analysis.csv"),
+        list(rows[0].keys()) if rows else ["file"],
+        [list(r.values()) for r in rows],
+    )
+    return rows
+
+
+def extract_corpus(
+    root: str = ".",
+    cfg: PipelineConfig = PipelineConfig(),
+    suffix: str = "clean",
+    source_dir: str | None = None,
+) -> tuple[np.ndarray, list[str], list[str]]:
+    """Batched TPU feature extraction over the corpus with cache reuse.
+
+    suffix='clean' reads clips from clear_dir (by stem); suffix='raw' decodes
+    the original files. Returns (X [n,149], labels, files).
+    """
+    data = cfg.data
+    sr = cfg.features.frontend.sample_rate
+    files = list_audio_files(os.path.join(root, data.data_dir), data.audio_exts)
+    cache = FeatureCache(os.path.join(root, data.cache_dir), cfg.features.total_feature_len)
+
+    labels = [label_of(f) for f in files]
+    X = np.zeros((len(files), cfg.features.total_feature_len), np.float32)
+    misses: list[tuple[int, np.ndarray]] = []
+    for i, f in enumerate(files):
+        cached = cache.load(f, suffix)
+        if cached is not None and cached.shape == (cfg.features.total_feature_len,):
+            X[i] = cached
+            continue
+        path = (
+            os.path.join(root, data.clear_dir, Path(f).stem + ".wav")
+            if suffix == "clean"
+            else f
+        )
+        y = _load_clip(path, sr)
+        if y is None:
+            continue  # row stays zeros (reference's degrade path)
+        misses.append((i, y))
+    if misses:
+        feats = extract_features_149_numpy([y for _, y in misses], sr=sr)
+        for (i, _), v in zip(misses, feats):
+            X[i] = v
+            cache.store(files[i], suffix, v)
+    return X, labels, files
+
+
+def _evaluate_models(models: dict, X_tr, y_tr, X_te, y_te, set_name, out_dir, class_names):
+    """Fit/predict/metrics for one dataset — engine A inner loop
+    (ref: pipeline1.py:508-531)."""
+    metrics_rows, probs, preds = [], {}, {}
+    for name, model in models.items():
+        t0 = time.time()
+        try:
+            model.fit(X_tr, y_tr)
+            p = model.predict(X_te)
+            pr = model.predict_proba(X_te)
+        except Exception as e:  # noqa: BLE001
+            log.error("training error %s on %s: %s", name, set_name, e)
+            continue
+        acc = evals.accuracy(y_te, p) * 100.0
+        loss = evals.log_loss(y_te, pr)
+        metrics_rows.append(
+            {"dataset": set_name, "model": name, "accuracy": acc, "test_loss": loss}
+        )
+        probs[name], preds[name] = pr, p
+        log.info("%s/%s acc=%.2f%% loss=%.4f (%.1fs)", set_name, name, acc, loss, time.time() - t0)
+
+        cm = evals.confusion_matrix(y_te, p, len(class_names))
+        evals.write_confusion_csv(
+            os.path.join(out_dir, f"confusion_{set_name}_{name}.csv"), cm, class_names
+        )
+        rep = evals.classification_report_dict(y_te, p, class_names)
+        evals.write_classification_report_csv(
+            os.path.join(out_dir, f"class_report_{set_name}_{name}.csv"), rep
+        )
+    # per-class ROC/AUC across models (ref plot_roc)
+    auc_rows, roc_rows = [], []
+    for name, pr in probs.items():
+        for c, cls in enumerate(class_names):
+            fpr, tpr, thr = evals.roc_curve(np.asarray(y_te) == c, pr[:, c])
+            auc_rows.append({"model": name, "class": cls, "auc": evals.auc_score(np.asarray(y_te) == c, pr[:, c])})
+            roc_rows += [
+                {"model": name, "class": cls, "fpr": f, "tpr": t, "threshold": th}
+                for f, t, th in zip(fpr, tpr, thr)
+            ]
+    evals.write_auc_csv(os.path.join(out_dir, f"auc_{set_name}.csv"), auc_rows)
+    evals.write_roc_points_csv(os.path.join(out_dir, f"roc_{set_name}.csv"), roc_rows)
+    return metrics_rows, probs, preds
+
+
+class _TpuMLPAdapter:
+    """sklearn-like adapter over the jitted seed-ensembled MLP."""
+
+    def __init__(self, cfg: MLPTrainConfig | None = None):
+        self.cfg = cfg or MLPTrainConfig()
+        self.fitted: FittedMLP | None = None
+
+    def fit(self, X, y):
+        self.fitted = fit_mlp(np.asarray(X, np.float32), np.asarray(y), self.cfg)
+        return self
+
+    def predict(self, X):
+        return self.fitted.predict(np.asarray(X, np.float32))
+
+    def predict_proba(self, X):
+        return self.fitted.predict_proba(np.asarray(X, np.float32))
+
+
+def run_before_after(root: str = ".", cfg: PipelineConfig = PipelineConfig()) -> dict:
+    """Engine A: raw-vs-clean comparison on one stratified 80/20 split
+    (ref: pipeline1.py:462-637)."""
+    out_dir = os.path.join(root, cfg.data.output_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    X_raw, labels, files = extract_corpus(root, cfg, "raw")
+    X_clean, _, _ = extract_corpus(root, cfg, "clean")
+    le = LabelEncoder.fit(labels)
+    y = le.transform(labels)
+    class_names = le.classes_
+
+    scaler_b = StandardScaler.fit(X_raw)
+    scaler_a = StandardScaler.fit(X_clean)
+    Xb, Xa = scaler_b.transform(X_raw), scaler_a.transform(X_clean)
+    tr, te = stratified_train_test_split(y, cfg.train.test_size, cfg.train.seed)
+
+    evals._write_csv(
+        os.path.join(out_dir, "train_test_sizes.csv"),
+        ["dataset", "train_size", "test_size"],
+        [["before", len(tr), len(te)], ["after", len(tr), len(te)]],
+    )
+
+    def zoo():
+        models = {"MLP-TPU": _TpuMLPAdapter()}
+        try:
+            from stutter_tpu.models.host_baselines import reference_model_zoo
+
+            models.update(reference_model_zoo("pipeline1", cfg.train.seed))
+        except ImportError:
+            log.warning("sklearn unavailable; host baselines skipped")
+        return models
+
+    all_metrics, results = [], {}
+    for set_name, X in (("before", Xb), ("after", Xa)):
+        models = zoo()
+        m, probs, preds = _evaluate_models(
+            models, X[tr], y[tr], X[te], y[te], set_name, out_dir, class_names
+        )
+        all_metrics += m
+        results[set_name] = {"models": models, "probs": probs, "preds": preds}
+    evals.write_metrics_summary_csv(os.path.join(out_dir, "metrics_summary.csv"), all_metrics)
+
+    # RF feature importances on 'after' (ref: pipeline1.py:605-618)
+    rf = results["after"]["models"].get("RandomForest")
+    if rf is not None and hasattr(rf, "feature_importances_"):
+        names = cfg.features.feature_names()
+        imp = rf.feature_importances_
+        order = np.argsort(-imp)
+        evals._write_csv(
+            os.path.join(out_dir, "feature_importances_after_rf.csv"),
+            ["feature", "importance"],
+            [[names[i], float(imp[i])] for i in order],
+        )
+    return {"metrics": all_metrics, "y_test": y[te], "results": results, "classes": class_names}
+
+
+def run_cv(
+    root: str = ".", cfg: PipelineConfig = PipelineConfig(), include_host: bool = True
+) -> dict:
+    """Engine B: 5-fold CV production table on clean features
+    (ref: main.py:872-1006)."""
+    out_dir = os.path.join(root, cfg.data.output_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    X, labels, files = extract_corpus(root, cfg, "clean")
+    le = LabelEncoder.fit(labels)
+    y = le.transform(labels)
+    class_names = le.classes_
+
+    scaler = StandardScaler.fit(X)
+    Xs = scaler.transform(X).astype(np.float32)
+    folds = stratified_kfold(y, cfg.train.n_folds, cfg.train.seed)
+
+    from stutter_tpu import persist
+
+    persist.save_scaler(os.path.join(out_dir, "scaler_after.npz"), scaler)
+    persist.save_label_encoder(os.path.join(out_dir, "label_encoder.json"), le)
+
+    final_rows = []
+
+    def add_row(name, y_pred):
+        p, r, f, _ = evals.precision_recall_fscore(y, y_pred, len(class_names), "macro")
+        final_rows.append(
+            {
+                "Model": name,
+                "Accuracy (%)": evals.accuracy(y, y_pred) * 100,
+                "Precision (%)": p * 100,
+                "Recall (%)": r * 100,
+                "F1-Score (%)": f * 100,
+            }
+        )
+
+    # TPU model: whole folds-x-seeds grid in one jit
+    t0 = time.time()
+    mlp_cfg = MLPTrainConfig(n_classes=len(class_names))
+    pred, proba = cross_validate_mlp(Xs, y, folds, mlp_cfg)
+    add_row("MLP-TPU", pred)
+    log.info("MLP-TPU CV done in %.1fs: acc=%.1f%%", time.time() - t0, final_rows[-1]["Accuracy (%)"])
+
+    rf_full = None
+    if include_host:
+        try:
+            from stutter_tpu.models.host_baselines import reference_model_zoo
+
+            for name, model in reference_model_zoo("main", cfg.train.seed).items():
+                y_pred = np.zeros_like(y)
+                for tr_idx, te_idx in folds:
+                    model.fit(Xs[tr_idx], y[tr_idx])
+                    y_pred[te_idx] = model.predict(Xs[te_idx])
+                add_row(name, y_pred)
+                if name == "RandomForest":
+                    model.fit(Xs, y)  # refit on all data (ref main.py:946-948)
+                    rf_full = model
+        except ImportError:
+            log.warning("sklearn unavailable; host baselines skipped")
+
+    evals.write_final_performance_csv(
+        os.path.join(out_dir, "FINAL_PERFORMANCE_TABLE.csv"), final_rows
+    )
+
+    # Train + persist the production TPU model on all data
+    fitted = fit_mlp(Xs, y, mlp_cfg)
+    persist.save_mlp(os.path.join(out_dir, "model_mlp_tpu"), fitted)
+    persist.save_sklearn_artifacts(out_dir, rf=rf_full)
+
+    # Permutation importance (ref: main.py:976-989) on the TPU model
+    from stutter_tpu.importance import permutation_importance_tpu
+
+    imp_mean, imp_std = permutation_importance_tpu(fitted, Xs, y, n_repeats=10, seed=cfg.train.seed)
+    names = cfg.features.feature_names()
+    order = np.argsort(-imp_mean)[:20]
+    evals._write_csv(
+        os.path.join(out_dir, "permutation_importance_rf.csv"),
+        ["feature", "importance", "std"],
+        [[names[i], float(imp_mean[i]), float(imp_std[i])] for i in order],
+    )
+
+    # Single-split confusion matrices (ref: main.py:992-1006)
+    tr, te = stratified_train_test_split(y, cfg.train.test_size, cfg.train.seed)
+    single = {"MLP-TPU": _TpuMLPAdapter(mlp_cfg)}
+    if include_host:
+        try:
+            from stutter_tpu.models.host_baselines import reference_model_zoo
+
+            z = reference_model_zoo("main", cfg.train.seed)
+            z.pop("Ensemble", None)
+            single.update(z)
+        except ImportError:
+            pass
+    for name, model in single.items():
+        try:
+            model.fit(Xs[tr], y[tr])
+            cm = evals.confusion_matrix(y[te], model.predict(Xs[te]), len(class_names))
+            evals.write_confusion_csv(
+                os.path.join(out_dir, f"confusion_{name}.csv"), cm, class_names
+            )
+        except Exception as e:  # noqa: BLE001
+            log.error("single-split confusion failed for %s: %s", name, e)
+
+    return {"final_rows": final_rows, "classes": class_names, "scaler": scaler, "le": le,
+            "mlp": fitted}

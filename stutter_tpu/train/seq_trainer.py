@@ -1,0 +1,158 @@
+"""Trainer for sequence models (CNN / CNN-BiLSTM) over spectrogram inputs.
+
+Generic over apply_fn(params, x, mask) -> logits.  One jitted, donated train
+step; epochs stream shuffled minibatches from device-resident arrays.  Also
+provides the corpus -> padded sequence-dataset preparation (log-mel for the
+CNN, MFCC+Δ+ΔΔ stacks for the CNN-BiLSTM), computed batched on TPU by the
+same masked frontend ops that feed the 149-dim contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class SeqTrainConfig:
+    epochs: int = 60
+    batch_size: int = 64
+    learning_rate: float = 2e-3
+    weight_decay: float = 1e-4
+    label_smoothing: float = 0.05
+    seed: int = 42
+
+
+def prepare_sequence_dataset(
+    clips: list[np.ndarray],
+    kind: str = "logmel",
+    sr: int = 16000,
+    t_max: int = 316,
+    batch: int = 128,
+) -> tuple[np.ndarray, np.ndarray]:
+    """clips -> (features [N, t_max, D], n_valid [N]) padded/truncated to t_max.
+
+    kind='logmel': [T, 128] log-mel; kind='mfcc_deltas': [T, 60] MFCC+Δ+ΔΔ.
+    """
+    from stutter_tpu.ops.delta import sg_delta
+    from stutter_tpu.ops.frontend import pad_to_bucket
+    from stutter_tpu.ops.masked import frame_mask
+    from stutter_tpu.ops.spectral import mel_power_to_db, mfcc_from_db, power_spectrogram
+
+    @partial(jax.jit, static_argnames=("kind",))
+    def featurize(audio, lengths, kind):
+        power = power_spectrogram(audio, 2048, 512)
+        mask = frame_mask(lengths, 512, power.shape[1])
+        power = jnp.where(mask[:, :, None], power, 0.0)
+        db = mel_power_to_db(power, mask, sr, 2048, 128)
+        if kind == "logmel":
+            return db, mask
+        mf = mfcc_from_db(db, 20)
+        nv = 1 + lengths // 512
+        d1 = sg_delta(mf, nv, 1)
+        d2 = sg_delta(mf, nv, 2)
+        return jnp.concatenate([mf, d1, d2], axis=-1), mask
+
+    D = 128 if kind == "logmel" else 60
+    N = len(clips)
+    out = np.zeros((N, t_max, D), np.float32)
+    n_valid = np.zeros(N, np.int32)
+    by_bucket: dict[int, list[int]] = {}
+    for i, y in enumerate(clips):
+        by_bucket.setdefault(pad_to_bucket(len(y)), []).append(i)
+    for bucket, idxs in by_bucket.items():
+        for s in range(0, len(idxs), batch):
+            chunk = idxs[s : s + batch]
+            buf = np.zeros((len(chunk), bucket), np.float32)
+            lens = np.zeros(len(chunk), np.int32)
+            for j, i in enumerate(chunk):
+                y = clips[i][:bucket]
+                buf[j, : len(y)] = y
+                lens[j] = len(y)
+            feats, mask = featurize(jnp.asarray(buf), jnp.asarray(lens), kind)
+            feats = np.asarray(feats)
+            nv = np.asarray(mask).sum(axis=1).astype(np.int32)
+            for j, i in enumerate(chunk):
+                t = min(int(nv[j]), t_max)
+                out[i, :t] = feats[j, :t]
+                n_valid[i] = t
+    return out, n_valid
+
+
+def standardize_sequences(X: np.ndarray, n_valid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-feature standardization over valid frames; returns (Xs, mean, std)."""
+    mask = (np.arange(X.shape[1])[None, :] < n_valid[:, None])[..., None]
+    cnt = mask.sum()
+    mean = (X * mask).sum(axis=(0, 1)) / cnt
+    var = (((X - mean) * mask) ** 2).sum(axis=(0, 1)) / cnt
+    std = np.sqrt(np.maximum(var, 1e-12))
+    return ((X - mean) / std * mask).astype(np.float32), mean, std
+
+
+def train_sequence_model(
+    init_fn: Callable,
+    apply_fn: Callable,
+    X: np.ndarray,  # [N, T, D] standardized
+    n_valid: np.ndarray,
+    y: np.ndarray,
+    n_classes: int,
+    cfg: SeqTrainConfig = SeqTrainConfig(),
+    init_kwargs: dict | None = None,
+) -> dict:
+    """Train one sequence model; returns final params."""
+    N, T, D = X.shape
+    steps_per_epoch = max(1, N // cfg.batch_size)
+    total_steps = cfg.epochs * steps_per_epoch
+    sched = optax.cosine_decay_schedule(cfg.learning_rate, total_steps, alpha=0.01)
+    opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), optax.adam(sched))
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = init_fn(init_rng, **(init_kwargs or {}))
+    opt_state = opt.init(params)
+
+    Xd = jnp.asarray(X)
+    nvd = jnp.asarray(n_valid)
+    yd = jnp.asarray(y)
+
+    def loss_fn(params, xb, mb, yb):
+        logits = apply_fn(params, xb, mb)
+        targets = optax.smooth_labels(jax.nn.one_hot(yb, n_classes), cfg.label_smoothing)
+        return jnp.mean(optax.softmax_cross_entropy(logits, targets))
+
+    @jax.jit
+    def train_step(params, opt_state, step_rng):
+        idx = jax.random.choice(step_rng, N, (cfg.batch_size,))
+        xb, yb = Xd[idx], yd[idx]
+        mb = jnp.arange(T)[None, :] < nvd[idx][:, None]
+        loss, grads = jax.value_and_grad(loss_fn)(params, xb, mb, yb)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for step_rng in jax.random.split(rng, total_steps):
+        params, opt_state, loss = train_step(params, opt_state, step_rng)
+    return params
+
+
+def predict_sequence_model(
+    apply_fn: Callable, params: dict, X: np.ndarray, n_valid: np.ndarray, batch: int = 256
+) -> np.ndarray:
+    """[N, T, D] -> probabilities [N, C]."""
+    N, T, _ = X.shape
+
+    @jax.jit
+    def fwd(xb, mb):
+        return jax.nn.softmax(apply_fn(params, xb, mb), -1)
+
+    outs = []
+    for s in range(0, N, batch):
+        xb = jnp.asarray(X[s : s + batch])
+        mb = jnp.arange(T)[None, :] < jnp.asarray(n_valid[s : s + batch])[:, None]
+        outs.append(np.asarray(fwd(xb, mb)))
+    return np.concatenate(outs, axis=0)

@@ -1,0 +1,99 @@
+"""Model zoo: shapes, masking invariance, and learnability smoke checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stutter_tpu.models.cnn import apply_cnn, init_cnn
+from stutter_tpu.models.cnn_bilstm import apply_cnn_bilstm, init_cnn_bilstm
+from stutter_tpu.models.mlp import apply_mlp, init_mlp
+from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
+
+
+def test_mlp_shapes():
+    params = init_mlp(jax.random.PRNGKey(0), 149, (256, 128, 64), 3)
+    x = jnp.zeros((7, 149))
+    assert apply_mlp(params, x).shape == (7, 3)
+
+
+def test_cnn_shapes_and_mask_invariance(rng):
+    params = init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=3)
+    x = jnp.asarray(rng.randn(2, 64, 128).astype(np.float32))
+    mask = jnp.arange(64)[None, :] < jnp.asarray([64, 40])[:, None]
+    logits = apply_cnn(params, x, mask)
+    assert logits.shape == (2, 3)
+    # padding beyond n_valid must not affect the output
+    x2 = x.at[1, 40:].set(99.0)
+    logits2 = apply_cnn(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)
+
+
+def test_cnn_bilstm_shapes_and_mask_invariance(rng):
+    params = init_cnn_bilstm(jax.random.PRNGKey(0), in_dim=60, n_classes=5)
+    x = jnp.asarray(rng.randn(2, 48, 60).astype(np.float32))
+    mask = jnp.arange(48)[None, :] < jnp.asarray([48, 20])[:, None]
+    logits = apply_cnn_bilstm(params, x, mask)
+    assert logits.shape == (2, 5)
+    x2 = x.at[1, 20:].set(-7.0)
+    logits2 = apply_cnn_bilstm(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)
+
+
+def test_mlp_learns_separable_data(rng):
+    """fit_mlp should fit an easily separable 3-class problem near-perfectly."""
+    from stutter_tpu.train.trainer import MLPTrainConfig, fit_mlp
+
+    n = 300
+    y = rng.randint(0, 3, n)
+    X = rng.randn(n, 10).astype(np.float32) * 0.3
+    X[:, 0] += 1.5 * y  # strong signal
+    cfg = MLPTrainConfig(hidden=(32, 16), epochs=150, n_seeds=2, dropout=0.0,
+                         label_smoothing=0.0)
+    fitted = fit_mlp(X, y, cfg)
+    assert (fitted.predict(X) == y).mean() > 0.95
+
+
+def test_seq_model_learns(rng):
+    """CNN-BiLSTM separates sequences whose mean frame value encodes the class."""
+    from stutter_tpu.train.seq_trainer import (
+        SeqTrainConfig,
+        predict_sequence_model,
+        train_sequence_model,
+    )
+
+    n, T, D = 120, 32, 12
+    y = rng.randint(0, 2, n)
+    X = rng.randn(n, T, D).astype(np.float32) * 0.1
+    X += y[:, None, None] * 0.8
+    n_valid = np.full(n, T, np.int32)
+    params = train_sequence_model(
+        init_cnn_bilstm,
+        apply_cnn_bilstm,
+        X,
+        n_valid,
+        y,
+        n_classes=2,
+        cfg=SeqTrainConfig(epochs=20, batch_size=32),
+        init_kwargs={"in_dim": D, "conv_channels": (16,), "lstm_dim": 16, "n_classes": 2},
+    )
+    proba = predict_sequence_model(apply_cnn_bilstm, params, X, n_valid)
+    assert (proba.argmax(-1) == y).mean() > 0.9
+
+
+def test_scaler_matches_sklearn_semantics(rng):
+    X = rng.randn(50, 4).astype(np.float32)
+    X[:, 3] = 2.0  # zero variance
+    sc = StandardScaler.fit(X)
+    Xt = sc.transform(X)
+    np.testing.assert_allclose(Xt[:, :3].mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(Xt[:, :3].std(axis=0), 1.0, atol=1e-4)
+    np.testing.assert_allclose(Xt[:, 3], 0.0, atol=1e-6)  # zero-var -> centered, unscaled
+    np.testing.assert_allclose(sc.inverse_transform(Xt), X, atol=1e-4)
+
+
+def test_label_encoder_roundtrip():
+    le = LabelEncoder.fit(["b", "a", "c", "a"])
+    assert le.classes_ == ["a", "b", "c"]
+    y = le.transform(["c", "a"])
+    np.testing.assert_array_equal(y, [2, 0])
+    assert le.inverse_transform(y) == ["c", "a"]
