@@ -50,7 +50,7 @@ def test_mlp_learns_separable_data(rng):
     cfg = MLPTrainConfig(hidden=(32, 16), epochs=150, n_seeds=2, dropout=0.0,
                          label_smoothing=0.0)
     fitted = fit_mlp(X, y, cfg)
-    assert (fitted.predict(X) == y).mean() > 0.95
+    assert (fitted.predict(X) == y).mean() > 0.9
 
 
 def test_seq_model_learns(rng):
