@@ -1,0 +1,90 @@
+"""Multi-chip data parallelism on the 8-device CPU mesh fixture."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from stutter_tpu.models.mlp import apply_mlp, init_mlp
+from stutter_tpu.parallel.mesh import (
+    dp_eval_accuracy,
+    extract_features_sharded,
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_sharded_extraction_matches_single_device(rng):
+    from stutter_tpu.ops.frontend import extract_features_149_batch
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    audio = (rng.randn(16, 24576) * 0.1).astype(np.float32)
+    lengths = np.full(16, 24000, np.int32)
+    sharded = np.asarray(extract_features_sharded(mesh, audio, lengths))
+    single = np.asarray(
+        extract_features_149_batch(jnp.asarray(audio), jnp.asarray(lengths))
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+@needs_8
+def test_dp_train_step_matches_single_device_grads(rng):
+    """One sharded step must equal the same step computed without the mesh."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    X = rng.randn(32, 20).astype(np.float32)
+    y = rng.randint(0, 3, 32).astype(np.int32)
+    opt = optax.sgd(0.1)
+    params0 = init_mlp(jax.random.PRNGKey(0), 20, (16,), 3)
+
+    # single-device reference step
+    def loss_fn(p):
+        logits = apply_mlp(p, jnp.asarray(X))
+        t = optax.smooth_labels(jax.nn.one_hot(jnp.asarray(y), 3), 0.05)
+        return jnp.mean(optax.softmax_cross_entropy(logits, t))
+
+    grads = jax.grad(loss_fn)(params0)
+    updates, _ = opt.update(grads, opt.init(params0), params0)
+    expected = optax.apply_updates(params0, updates)
+
+    params = replicate(mesh, params0)
+    opt_state = replicate(mesh, opt.init(params0))
+    step = make_dp_train_step(mesh, opt, n_classes=3)
+    xb, yb = shard_batch(mesh, jnp.asarray(X), jnp.asarray(y))
+    params1, _, loss = step(params, opt_state, xb, yb)
+
+    for k in expected:
+        np.testing.assert_allclose(
+            np.asarray(params1[k]), np.asarray(expected[k]), atol=1e-5
+        )
+    assert np.isfinite(float(loss))
+
+
+@needs_8
+def test_dp_eval_accuracy(rng):
+    mesh = make_mesh(8)
+    params = replicate(mesh, init_mlp(jax.random.PRNGKey(1), 10, (8,), 3))
+    X = rng.randn(24, 10).astype(np.float32)
+    y = rng.randint(0, 3, 24)
+    acc = dp_eval_accuracy(mesh, params, X, y)
+    assert 0.0 <= acc <= 1.0
+
+
+@needs_8
+def test_graft_entry_points():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft", "__graft_entry__.py")
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 3)
+    g.dryrun_multichip(8)
