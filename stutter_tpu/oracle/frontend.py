@@ -414,9 +414,14 @@ def extract_audio_features_149(y: np.ndarray, sr: int = 16000) -> np.ndarray:
 
 
 def extract_audio_features_334(y: np.ndarray, sr: int = 16000) -> np.ndarray:
-    """The 329-dim audio vector of main.py:718-763 with the intended (fixed)
+    """The rich audio vector of main.py:718-763 with the intended (fixed)
     semantics: the reference's `cent[0]` IndexError (main.py:753) zeroed the
-    whole vector; here the centroid scalar is taken correctly."""
+    whole vector; here the centroid scalar is taken correctly.
+
+    NOTE on dimensionality: main.py's comments claim 329 audio dims, but its
+    COMPUTED constant is (40*2)*3 + 12*2 + 7*2 + 3 = 281 audio (+5 text =
+    286 total).  We match the computed contract; the "334-dim" label used in
+    SURVEY/BASELINE follows the erroneous comment."""
     m = mfcc(y, sr, n_mfcc=40, n_fft=512, hop_length=256)
     d1 = delta(m, order=1)
     d2 = delta(m, order=2)
@@ -463,9 +468,9 @@ def extract_features(y: np.ndarray, sr: int = 16000, transcript: str = "",
     if variant == 149:
         audio = extract_audio_features_149(y, sr) if y is not None else np.zeros(144, np.float32)
         total = 149
-    elif variant == 334:
-        audio = extract_audio_features_334(y, sr) if y is not None else np.zeros(329, np.float32)
-        total = 334
+    elif variant == 334:  # label kept for SURVEY/BASELINE terminology; true size 286
+        audio = extract_audio_features_334(y, sr) if y is not None else np.zeros(281, np.float32)
+        total = 286
     else:
         raise ValueError(f"unknown variant {variant}")
     feats = np.hstack([audio, extract_text_features(transcript)]).astype(np.float32)
