@@ -69,12 +69,16 @@ def piptrack_candidates(
     fmin: float = 150.0,
     fmax: float = 4000.0,
     threshold: float = 0.1,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    aux_table: np.ndarray | None = None,
+) -> tuple:
     """power: [B, T, F] (zeroed at invalid frames) -> compact peak candidates.
 
     Returns (bin_idx [B,T,M] int32, shifts [B,T,M], mags [B,T,M], valid
-    [B,T,M]) where M = 2 * ceil(band/4); the compaction is exact (see module
-    docstring).
+    [B,T,M][, aux [B,T,M]]) where M = 2 * ceil(band/4); the compaction is
+    exact (see module docstring).  aux_table, if given, is a per-FFT-bin [F]
+    value compacted alongside — this keeps per-candidate table lookups
+    gather-free (TPU gathers of millions of elements are ~20x the cost of
+    the whole candidate computation).
     """
     S = power  # piptrack treats its S input as magnitude; chroma passes power.
     B, T, F = S.shape
@@ -110,6 +114,12 @@ def piptrack_candidates(
     magg = pad(mags).reshape(B, T, n_groups, _GROUP)
     shiftg = pad(jnp.where(cand, shift, 0.0)).reshape(B, T, n_groups, _GROUP)
     bing = jnp.broadcast_to(bin_val.reshape(1, 1, n_groups, _GROUP), candg.shape)
+    if aux_table is not None:
+        aux_band = np.zeros(pad_to, np.float32)
+        aux_band[:band] = np.asarray(aux_table, np.float32)[lo:hi]
+        auxg = jnp.broadcast_to(
+            jnp.asarray(aux_band).reshape(1, 1, n_groups, _GROUP), candg.shape
+        )
 
     # Exclusive within-group cumulative count selects 1st/2nd peak per group.
     ci = candg.astype(jnp.int32)
@@ -125,12 +135,16 @@ def piptrack_candidates(
     out_bin = jnp.stack([compact(bing, first), compact(bing, second)], axis=-1)
     out_valid = jnp.stack([jnp.any(first, -1), jnp.any(second, -1)], axis=-1)
     M = 2 * n_groups
-    return (
+    out = (
         out_bin.reshape(B, T, M),
         out_shift.reshape(B, T, M),
         out_mag.reshape(B, T, M),
         out_valid.reshape(B, T, M),
     )
+    if aux_table is not None:
+        out_aux = jnp.stack([compact(auxg, first), compact(auxg, second)], axis=-1)
+        out = out + (out_aux.reshape(B, T, M),)
+    return out
 
 
 def estimate_tuning_bin(
@@ -147,22 +161,26 @@ def estimate_tuning_bin(
     """
     B = power.shape[0]
     n_bins = int(np.ceil(1.0 / resolution))
-    bin_idx, shift, mag, valid = piptrack_candidates(power, sr, n_fft)
+    # pitch_tuning residual: mod(12*log2(pitch/27.5), 1), wrapped to [-0.5, 0.5).
+    #   12*log2((bin+shift)*sr/(n_fft*27.5)) mod 1
+    #     = [12*log2(bin*sr/(n_fft*27.5)) mod 1]  (exact f64 host table,
+    #       compacted per candidate inside piptrack -- avoids a 6M-element
+    #       device gather that costs ~20x the whole candidate computation)
+    #     + 12*log2(1 + shift/bin)                (tiny u: fast-converging series)
+    r_table = _residual_table(sr, n_fft, power.shape[-1], n_chroma)
+    bin_idx, shift, mag, valid, r_base = piptrack_candidates(
+        power, sr, n_fft, aux_table=r_table
+    )
     bin_idx = bin_idx.reshape(B, -1)
     shift = shift.reshape(B, -1)
     mag = mag.reshape(B, -1)
+    r_base = r_base.reshape(B, -1)
     # librosa: candidates are pitch > 0; pitch = (bin + shift) * sr / n_fft.
     cand = valid.reshape(B, -1) & (bin_idx.astype(jnp.float32) + shift > 0)
 
     med = masked_median(mag, cand)
     sel = cand & (mag >= med[:, None])
 
-    # pitch_tuning residual: mod(12*log2(pitch/27.5), 1), wrapped to [-0.5, 0.5).
-    #   12*log2((bin+shift)*sr/(n_fft*27.5)) mod 1
-    #     = [12*log2(bin*sr/(n_fft*27.5)) mod 1]  (exact f64 host table)
-    #     + 12*log2(1 + shift/bin)                (tiny u: fast-converging series)
-    r_table = _residual_table(sr, n_fft, power.shape[-1], n_chroma)
-    r_base = jnp.asarray(r_table)[bin_idx]
     binf = jnp.maximum(bin_idx.astype(jnp.float32), 1.0)
     u = shift / binf
     # log2(1+u) = (u - u^2/2 + u^3/3 - ... ) / ln 2; |u| <= ~0.03 in practice.
@@ -172,20 +190,20 @@ def estimate_tuning_bin(
     residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
     idx = jnp.clip(jnp.floor((residual + 0.5) * n_bins), 0, n_bins - 1).astype(jnp.int32)
 
-    # 100-bin histogram via chunked one-hot reduction (no scatter).
+    # 100-bin histogram via chunked one-hot reduction (no scatter/gather);
+    # python-unrolled so XLA can fuse and pipeline the chunks.
     M = idx.shape[1]
-    chunk = 2048
+    chunk = 4096
     n_chunks = -(-M // chunk)
     pad_m = n_chunks * chunk - M
     idx_p = jnp.pad(idx, ((0, 0), (0, pad_m))).reshape(B, n_chunks, chunk)
     sel_p = jnp.pad(sel, ((0, 0), (0, pad_m))).reshape(B, n_chunks, chunk)
     bins_ar = jnp.arange(n_bins, dtype=jnp.int32)
 
-    def body(c, acc):
+    hist = jnp.zeros((B, n_bins), jnp.int32)
+    for c in range(n_chunks):
         eq = (idx_p[:, c, :, None] == bins_ar) & sel_p[:, c, :, None]
-        return acc + jnp.sum(eq.astype(jnp.int32), axis=1)
-
-    hist = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((B, n_bins), jnp.int32))
+        hist = hist + jnp.sum(eq.astype(jnp.int32), axis=1)
     has_any = jnp.any(sel, axis=-1)
     # librosa returns tuning 0.0 when no candidates exist -> bin of 0.0
     zero_bin = n_bins // 2

@@ -86,9 +86,12 @@ def power_spectrogram(
         method = "matmul" if jax.default_backend() not in ("cpu", "gpu") else "fft"
     frames = frame(audio, n_fft, hop_length)
     if method == "matmul":
+        # HIGH (bf16x3) keeps golden parity at ~9e-5 max clip MAE (11x under
+        # the 1e-3 budget) and is ~2x faster than HIGHEST (bf16x6) on the MXU.
         cos_m, sin_m = _windowed_dft_mats(n_fft, win_length)
-        re = jnp.einsum("btn,nf->btf", frames, jnp.asarray(cos_m), precision=HIGHEST)
-        im = jnp.einsum("btn,nf->btf", frames, jnp.asarray(sin_m), precision=HIGHEST)
+        prec = jax.lax.Precision.HIGH
+        re = jnp.einsum("btn,nf->btf", frames, jnp.asarray(cos_m), precision=prec)
+        im = jnp.einsum("btn,nf->btf", frames, jnp.asarray(sin_m), precision=prec)
         return re**2 + im**2
     window = np.asarray(fb.hann(win_length))
     if win_length < n_fft:

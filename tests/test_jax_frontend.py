@@ -40,7 +40,8 @@ def test_power_spectrogram_both_methods(rng):
     for method in ("fft", "matmul"):
         got = np.asarray(power_spectrogram(jnp.asarray(y)[None, :], 2048, 512, method=method))[0]
         assert np.abs(got - ref).max() < 1e-2  # absolute on O(1e4) values
-        assert np.abs(got - ref).max() / max(ref.max(), 1) < 1e-6
+        # matmul runs at Precision.HIGH (bf16x3 on TPU); ~1e-6 relative
+        assert np.abs(got - ref).max() / max(ref.max(), 1) < 5e-6
 
 
 def test_sg_delta_matches_scipy(rng):
