@@ -162,26 +162,31 @@ def extract_corpus(
 
     labels = [label_of(f) for f in files]
     X = np.zeros((len(files), cfg.features.total_feature_len), np.float32)
-    misses: list[tuple[int, np.ndarray]] = []
+    miss_rows: list[int] = []
+    miss_paths: list[str] = []
     for i, f in enumerate(files):
         cached = cache.load(f, suffix)
         if cached is not None and cached.shape == (cfg.features.total_feature_len,):
             X[i] = cached
             continue
-        path = (
+        miss_rows.append(i)
+        miss_paths.append(
             os.path.join(root, data.clear_dir, Path(f).stem + ".wav")
             if suffix == "clean"
             else f
         )
-        y = _load_clip(path, sr)
-        if y is None:
-            continue  # row stays zeros (reference's degrade path)
-        misses.append((i, y))
-    if misses:
-        feats = extract_features_149_numpy([y for _, y in misses], sr=sr)
-        for (i, _), v in zip(misses, feats):
-            X[i] = v
-            cache.store(files[i], suffix, v)
+    if miss_rows:
+        # native multithreaded batch decode with Python fallback per row
+        from stutter_tpu.io.native import load_wav_batch
+        from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
+
+        audio, lens = load_wav_batch(miss_paths, DEFAULT_BUCKETS[-1], sr)
+        keep = [(i, audio[j, : lens[j]]) for j, i in enumerate(miss_rows) if lens[j] > 0]
+        if keep:
+            feats = extract_features_149_numpy([y for _, y in keep], sr=sr)
+            for (i, _), v in zip(keep, feats):
+                X[i] = v
+                cache.store(files[i], suffix, v)
     return X, labels, files
 
 

@@ -1,0 +1,92 @@
+"""End-to-end pipeline on a synthetic mini-corpus (WAV-only, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stutter_tpu.config import (
+    DataConfig,
+    DenoiseConfig,
+    FeatureConfig,
+    PipelineConfig,
+    TrainConfig,
+)
+from stutter_tpu.io.wav import write_wav
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Tiny 2-class corpus: tone bursts vs noise bursts."""
+    root = tmp_path_factory.mktemp("ws")
+    rng = np.random.RandomState(0)
+    sr = 16000
+    for cls, kind in (("tonal", "tone"), ("noisy", "noise")):
+        d = root / "segrigated_samples" / cls
+        d.mkdir(parents=True)
+        for i in range(10):
+            n = rng.randint(8000, 20000)
+            if kind == "tone":
+                f0 = rng.uniform(200, 900)
+                y = 0.5 * np.sin(2 * np.pi * f0 * np.arange(n) / sr)
+            else:
+                y = rng.randn(n) * 0.2
+            write_wav(d / f"clip_{cls}_{i}.wav", y.astype(np.float32), sr)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(train=TrainConfig())
+
+
+def test_preprocess_writes_analysis(workspace, cfg):
+    from stutter_tpu.pipeline import preprocess
+
+    rows = preprocess(workspace, cfg)
+    assert len(rows) == 20
+    assert os.path.exists(os.path.join(workspace, "output_results", "per_file_analysis.csv"))
+    assert os.path.exists(os.path.join(workspace, "clear_audio", "clip_tonal_0.wav"))
+    # idempotent second run (clear_audio cache hit)
+    assert len(preprocess(workspace, cfg)) == 20
+
+
+def test_extract_populates_cache(workspace, cfg):
+    from stutter_tpu.pipeline import extract_corpus
+
+    X, labels, files = extract_corpus(workspace, cfg, "clean")
+    assert X.shape == (20, 149)
+    assert (np.abs(X).sum(axis=1) > 0).all()
+    assert os.path.exists(
+        os.path.join(workspace, "cache_features", "clip_tonal_0_clean_feats.npy")
+    )
+    # second call: all cache hits, identical
+    X2, _, _ = extract_corpus(workspace, cfg, "clean")
+    np.testing.assert_array_equal(X, X2)
+
+
+def test_run_cv_and_predict(workspace, cfg):
+    from stutter_tpu.infer import Predictor
+    from stutter_tpu.pipeline import run_cv
+    from stutter_tpu.train.trainer import MLPTrainConfig
+
+    import stutter_tpu.pipeline as pl_mod
+
+    # shrink training for test speed
+    orig = pl_mod.MLPTrainConfig
+    small = lambda **kw: orig(epochs=30, n_seeds=2, **kw)
+    pl_mod.MLPTrainConfig = small
+    try:
+        res = run_cv(workspace, cfg, include_host=False)
+    finally:
+        pl_mod.MLPTrainConfig = orig
+    assert res["final_rows"][0]["Accuracy (%)"] > 80  # trivially separable
+    out = os.path.join(workspace, "output_results")
+    assert os.path.exists(os.path.join(out, "FINAL_PERFORMANCE_TABLE.csv"))
+    assert os.path.exists(os.path.join(out, "permutation_importance_rf.csv"))
+
+    pred = Predictor.load(out, cfg)
+    wav = os.path.join(workspace, "segrigated_samples", "tonal", "clip_tonal_3.wav")
+    r = pred.predict_file(wav)
+    assert set(r["proba"]) == {"noisy", "tonal"}
+    assert abs(sum(r["proba"].values()) - 1) < 1e-5
