@@ -104,8 +104,14 @@ def train_sequence_model(
     n_classes: int,
     cfg: SeqTrainConfig = SeqTrainConfig(),
     init_kwargs: dict | None = None,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 500,
 ) -> dict:
-    """Train one sequence model; returns final params."""
+    """Train one sequence model; returns final params.
+
+    With ckpt_dir set, training state (params + optimizer) checkpoints through
+    Orbax every `ckpt_every` steps and resumes from the latest checkpoint.
+    """
     N, T, D = X.shape
     steps_per_epoch = max(1, N // cfg.batch_size)
     total_steps = cfg.epochs * steps_per_epoch
@@ -116,6 +122,15 @@ def train_sequence_model(
     rng, init_rng = jax.random.split(rng)
     params = init_fn(init_rng, **(init_kwargs or {}))
     opt_state = opt.init(params)
+
+    start_step = 0
+    if ckpt_dir is not None:
+        from stutter_tpu.utils import checkpoint as ckpt
+
+        latest = ckpt.latest_step(ckpt_dir)
+        if latest is not None:
+            params, opt_state = ckpt.restore_train_state(ckpt_dir, latest, params, opt_state)
+            start_step = latest
 
     Xd = jnp.asarray(X)
     nvd = jnp.asarray(n_valid)
@@ -135,8 +150,13 @@ def train_sequence_model(
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for step_rng in jax.random.split(rng, total_steps):
-        params, opt_state, loss = train_step(params, opt_state, step_rng)
+    step_rngs = jax.random.split(rng, total_steps)
+    for step in range(start_step, total_steps):
+        params, opt_state, loss = train_step(params, opt_state, step_rngs[step])
+        if ckpt_dir is not None and (step + 1) % ckpt_every == 0:
+            from stutter_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_train_state(ckpt_dir, step + 1, params, opt_state)
     return params
 
 
