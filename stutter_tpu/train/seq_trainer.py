@@ -141,22 +141,35 @@ def train_sequence_model(
         targets = optax.smooth_labels(jax.nn.one_hot(yb, n_classes), cfg.label_smoothing)
         return jnp.mean(optax.softmax_cross_entropy(logits, targets))
 
-    @jax.jit
-    def train_step(params, opt_state, step_rng):
+    def train_step(carry, step_rng):
+        params, opt_state = carry
         idx = jax.random.choice(step_rng, N, (cfg.batch_size,))
         xb, yb = Xd[idx], yd[idx]
         mb = jnp.arange(T)[None, :] < nvd[idx][:, None]
         loss, grads = jax.value_and_grad(loss_fn)(params, xb, mb, yb)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, rngs, n_steps):
+        # whole chunk under one dispatch: per-step host round-trips would be
+        # latency-bound (notably through tunneled backends)
+        (params, opt_state), losses = jax.lax.scan(train_step, (params, opt_state), rngs)
+        return params, opt_state, losses[-1]
 
     step_rngs = jax.random.split(rng, total_steps)
-    for step in range(start_step, total_steps):
-        params, opt_state, loss = train_step(params, opt_state, step_rngs[step])
-        if ckpt_dir is not None and (step + 1) % ckpt_every == 0:
+    chunk = ckpt_every if ckpt_dir is not None else max(total_steps, 1)
+    step = start_step
+    while step < total_steps:
+        n_steps = min(chunk, total_steps - step)
+        params, opt_state, loss = run_chunk(
+            params, opt_state, step_rngs[step : step + n_steps], n_steps
+        )
+        step += n_steps
+        if ckpt_dir is not None:
             from stutter_tpu.utils import checkpoint as ckpt
 
-            ckpt.save_train_state(ckpt_dir, step + 1, params, opt_state)
+            ckpt.save_train_state(ckpt_dir, step, params, opt_state)
     return params
 
 
