@@ -219,18 +219,29 @@ def _evaluate_models(models: dict, X_tr, y_tr, X_te, y_te, set_name, out_dir, cl
         evals.write_classification_report_csv(
             os.path.join(out_dir, f"class_report_{set_name}_{name}.csv"), rep
         )
-    # per-class ROC/AUC across models (ref plot_roc)
-    auc_rows, roc_rows = [], []
+    # per-class ROC/AUC across models (ref plot_roc) + HTML export
+    # (ref: pipeline1.py:553,563 write roc_{before,after}.html)
+    from stutter_tpu import report
+
+    auc_rows, roc_rows, curves = [], [], []
     for name, pr in probs.items():
         for c, cls in enumerate(class_names):
-            fpr, tpr, thr = evals.roc_curve(np.asarray(y_te) == c, pr[:, c])
-            auc_rows.append({"model": name, "class": cls, "auc": evals.auc_score(np.asarray(y_te) == c, pr[:, c])})
+            y_bin = np.asarray(y_te) == c
+            fpr, tpr, thr = evals.roc_curve(y_bin, pr[:, c])
+            auc = evals.auc_score(y_bin, pr[:, c])
+            auc_rows.append({"model": name, "class": cls, "auc": auc})
+            curves.append({"label": f"{name} - {cls}", "fpr": fpr, "tpr": tpr, "auc": auc})
             roc_rows += [
                 {"model": name, "class": cls, "fpr": f, "tpr": t, "threshold": th}
                 for f, t, th in zip(fpr, tpr, thr)
             ]
     evals.write_auc_csv(os.path.join(out_dir, f"auc_{set_name}.csv"), auc_rows)
     evals.write_roc_points_csv(os.path.join(out_dir, f"roc_{set_name}.csv"), roc_rows)
+    report.write_html(
+        os.path.join(out_dir, f"roc_{set_name}.html"),
+        f"Multi-Class ROC ({set_name})",
+        [report.roc_svg(curves, f"Multi-Class ROC ({set_name})")],
+    )
     return metrics_rows, probs, preds
 
 
@@ -371,6 +382,19 @@ def run_cv(
 
     evals.write_final_performance_csv(
         os.path.join(out_dir, "FINAL_PERFORMANCE_TABLE.csv"), final_rows
+    )
+    from stutter_tpu import report
+
+    report.write_html(
+        os.path.join(out_dir, "final_performance.html"),
+        "Final Performance (5-fold CV)",
+        [
+            report.bar_svg(
+                [r["Model"] for r in final_rows],
+                [r["Accuracy (%)"] for r in final_rows],
+                "5-fold CV Accuracy",
+            )
+        ],
     )
 
     # Train + persist the production TPU model on all data
