@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-host", action="store_true", help="skip sklearn baselines")
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
+    p = sub.add_parser("train-seq", help="train a CNN / CNN-BiLSTM sequence head")
+    add_root(p)
+    p.add_argument("--arch", default="cnn_bilstm", choices=["cnn", "cnn_bilstm"])
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--ckpt", action="store_true", help="Orbax checkpoint/resume")
     p = sub.add_parser("predict", help="classify one audio file")
     add_root(p)
     p.add_argument("file")
@@ -94,6 +99,18 @@ def main(argv: list[str] | None = None) -> int:
                 f'{m["dataset"]:7s} {m["model"]:14s} acc={m["accuracy"]:.2f}% '
                 f'loss={m["test_loss"]:.4f}'
             )
+    elif args.cmd == "train-seq":
+        from stutter_tpu.train.seq_pipeline import run_seq
+        from stutter_tpu.train.seq_trainer import SeqTrainConfig
+
+        res = run_seq(
+            args.root, args.arch, cfg,
+            SeqTrainConfig(epochs=args.epochs, batch_size=64), ckpt=args.ckpt,
+        )
+        print(
+            f'{res["arch"]}: acc={res["accuracy"]:.1f}% loss={res["test_loss"]:.3f} '
+            f'[{res["elapsed_s"]:.0f}s]'
+        )
     elif args.cmd == "predict":
         from stutter_tpu.infer import Predictor
 

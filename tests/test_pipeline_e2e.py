@@ -90,3 +90,12 @@ def test_run_cv_and_predict(workspace, cfg):
     r = pred.predict_file(wav)
     assert set(r["proba"]) == {"noisy", "tonal"}
     assert abs(sum(r["proba"].values()) - 1) < 1e-5
+
+
+def test_run_seq_on_synthetic(workspace, cfg):
+    from stutter_tpu.train.seq_pipeline import run_seq
+    from stutter_tpu.train.seq_trainer import SeqTrainConfig
+
+    res = run_seq(workspace, "cnn", cfg, SeqTrainConfig(epochs=15, batch_size=8))
+    assert res["accuracy"] > 70  # tones vs noise is trivially separable
+    assert os.path.exists(os.path.join(workspace, "output_results", "model_cnn.npz"))
