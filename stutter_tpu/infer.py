@@ -47,6 +47,18 @@ class Predictor:
             cfg=cfg,
         )
 
+    def warmup(self, buckets=None) -> None:
+        """Pre-compile the extract+classify graphs for every clip bucket so
+        first-request latency is bounded (jit compiles per input shape)."""
+        from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
+
+        for bucket in buckets or DEFAULT_BUCKETS:
+            silent = np.zeros(bucket, np.float32)
+            feats = extract_features_149_numpy([silent], sr=self.cfg.features.frontend.sample_rate)
+            self.model.predict_proba(
+                self.scaler.transform(feats).astype(np.float32)
+            )
+
     def predict_clip(self, y: np.ndarray, sr: int = 16000) -> dict:
         """One clip -> {label, proba: {class: p}}; the full reference path:
         denoise -> extract -> shape guard -> scale -> predict."""
