@@ -77,19 +77,27 @@ def power_spectrogram(
 ) -> jnp.ndarray:
     """[B, N] -> [B, T, n_fft//2+1] power spectrogram |STFT|^2.
 
-    method: 'fft' (native rfft), 'matmul' (windowed DFT on the MXU at HIGHEST
-    precision), or 'auto' (matmul on TPU for parity, fft elsewhere).
+    method: 'fft' (native rfft), 'matmul' (windowed DFT on the MXU, bf16x3),
+    'matmul_highest' (bf16x6), or 'auto' (matmul on TPU for parity, fft
+    elsewhere).
+
+    Precision/parity tradeoff on the 888-clip golden corpus: 'matmul' (HIGH)
+    gives mean clip MAE 4.8e-5 with 886/888 under 1e-3 at ~2x the speed;
+    'matmul_highest' gives mean 1.4e-5 with 887/888.  The 1-2 outliers are
+    clips whose tuning histograms are exactly tied (top bins with counts of
+    2, or 11-vs-11) — librosa's own answer there is decided by fp rounding,
+    not by the algorithm.
     """
     if win_length is None:
         win_length = n_fft
     if method == "auto":
         method = "matmul" if jax.default_backend() not in ("cpu", "gpu") else "fft"
     frames = frame(audio, n_fft, hop_length)
-    if method == "matmul":
-        # HIGH (bf16x3) keeps golden parity at ~9e-5 max clip MAE (11x under
-        # the 1e-3 budget) and is ~2x faster than HIGHEST (bf16x6) on the MXU.
+    if method.startswith("matmul"):
         cos_m, sin_m = _windowed_dft_mats(n_fft, win_length)
-        prec = jax.lax.Precision.HIGH
+        prec = (
+            jax.lax.Precision.HIGHEST if method == "matmul_highest" else jax.lax.Precision.HIGH
+        )
         re = jnp.einsum("btn,nf->btf", frames, jnp.asarray(cos_m), precision=prec)
         im = jnp.einsum("btn,nf->btf", frames, jnp.asarray(sin_m), precision=prec)
         return re**2 + im**2
