@@ -21,6 +21,21 @@ import numpy as np
 from stutter_tpu.config import DataConfig
 
 
+# The 5-class dysfluency taxonomy from BASELINE.json's north star; the
+# committed corpus covers three of these (its folder names map as below).
+DYSFLUENCY_CLASSES_5 = ("repetition", "prolongation", "block", "interjection", "fluent")
+CORPUS_LABEL_TO_5CLASS = {
+    "word repetition": "repetition",
+    "syllable repetition": "repetition",
+    "Prolongatio sample": "prolongation",
+}
+
+
+def map_labels_to_5class(labels: list[str]) -> list[str]:
+    """Corpus folder labels -> the 5-class taxonomy (unknown labels pass through)."""
+    return [CORPUS_LABEL_TO_5CLASS.get(l, l) for l in labels]
+
+
 def list_audio_files(root: str, exts=(".wav", ".mp3", ".flac", ".m4a", ".ogg")) -> list[str]:
     """Recursive, extension-filtered, sorted (ref: pipeline1.py:91-97)."""
     files = []

@@ -43,11 +43,16 @@ def sg_delta(x: jnp.ndarray, n_valid: jnp.ndarray, order: int = 1, width: int = 
     y = jnp.concatenate([first, interior[:, half:]], axis=1)
 
     # Last-edge rows (dynamic position n_valid-half .. n_valid-1) from the
-    # last `width` valid frames.
-    def fix_last(xi, yi, n):
-        start = jnp.maximum(n - width, 0)
-        win = jax.lax.dynamic_slice(xi, (start, 0), (width, C))
-        last = jnp.matmul(jnp.asarray(ops.last), win, precision=jax.lax.Precision.HIGHEST)
-        return jax.lax.dynamic_update_slice(yi, last, (jnp.maximum(n - half, 0), 0))
-
-    return jax.vmap(fix_last)(x, y, n_valid)
+    # last `width` valid frames: small take_along_axis gather + masked select
+    # (a vmapped dynamic_update_slice forms a serialized scatter on TPU).
+    start = jnp.maximum(n_valid - width, 0)  # [B]
+    win_idx = start[:, None] + jnp.arange(width)[None, :]  # [B, width]
+    win = jnp.take_along_axis(x, win_idx[:, :, None], axis=1)  # [B, width, C]
+    last = jnp.einsum(
+        "ew,bwc->bec", jnp.asarray(ops.last), win, precision=jax.lax.Precision.HIGHEST
+    )  # [B, half, C]
+    t_idx = jnp.arange(T)[None, :]  # [1, T]
+    offset = t_idx - (n_valid[:, None] - half)  # [B, T]: 0..half-1 at edge rows
+    is_edge = (offset >= 0) & (offset < half)
+    edge_vals = jnp.take_along_axis(last, jnp.clip(offset, 0, half - 1)[:, :, None], axis=1)
+    return jnp.where(is_edge[:, :, None], edge_vals, y)
