@@ -99,3 +99,41 @@ def test_tuning_bin_matches_oracle(golden_subset):
         power = jnp.where(mask[:, :, None], power, 0.0)
         tb = int(np.asarray(estimate_tuning_bin(power, sr, 2048))[0])
         assert abs(edges[tb] - t_o) < 1e-9
+
+
+def test_tuning_bin_on_synthetic_noise(rng):
+    """Property check on non-speech inputs: jitted tuning == oracle."""
+    from stutter_tpu.ops.chroma import estimate_tuning_bin
+
+    edges = np.linspace(-0.5, 0.5, 101)
+    for trial in range(3):
+        n = [16000, 24000, 24576][trial]
+        y = (rng.randn(n) * 0.3).astype(np.float32)
+        S_o = np.abs(OF.stft(y)) ** 2
+        t_o = OF.estimate_tuning_from_power(S_o, 16000, 2048)
+        buf = np.zeros((1, 24576), np.float32)
+        buf[0, :n] = y
+        power = power_spectrogram(jnp.asarray(buf), 2048, 512)
+        mask = frame_mask(jnp.asarray([n], np.int32), 512, power.shape[1])
+        power = jnp.where(mask[:, :, None], power, 0.0)
+        tb = int(np.asarray(estimate_tuning_bin(power, 16000, 2048))[0])
+        assert abs(edges[tb] - t_o) < 1e-9
+
+
+def test_tuning_bin_tonal_signal(rng):
+    """A pure tone detuned by +30 cents must estimate ~+0.3 tuning."""
+    from stutter_tpu.ops.chroma import estimate_tuning_bin
+
+    f0 = 440.0 * 2 ** (0.3 / 12)
+    t = np.arange(24576) / 16000
+    y = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    power = power_spectrogram(jnp.asarray(y)[None, :], 2048, 512)
+    mask = frame_mask(jnp.asarray([24576], np.int32), 512, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    tb = int(np.asarray(estimate_tuning_bin(power, 16000, 2048))[0])
+    tuning = -0.5 + 0.01 * tb
+    # parabolic peak interpolation biases the estimate slightly; require the
+    # right neighborhood and exact agreement with the oracle
+    assert abs(tuning - 0.3) < 0.07
+    t_o = OF.estimate_tuning_from_power(np.abs(OF.stft(y)) ** 2, 16000, 2048)
+    assert abs(tuning - t_o) < 1e-9
