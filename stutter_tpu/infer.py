@@ -133,12 +133,15 @@ class Predictor:
 
         for s in range(0, len(starts), batch_size):
             chunk = starts[s : s + batch_size]
-            batch = np.zeros((len(chunk), win), np.float32)
-            lens = np.zeros(len(chunk), np.int32)
+            # pad partial batches to batch_size: a ragged final batch would
+            # trigger a fresh jit compile for its shape
+            batch = np.zeros((batch_size, win), np.float32)
+            lens = np.zeros(batch_size, np.int32)
             for j, s0 in enumerate(chunk):
                 seg = y[s0 : s0 + win]
                 batch[j, : len(seg)] = seg
                 lens[j] = len(seg)
+            lens[len(chunk) :] = win  # dummy rows; discarded below
             feats = extract_features_149_batch(jnp.asarray(batch), jnp.asarray(lens), sr=sr)
             xs = (feats - mean) / scale
             probs = predict_proba_grid(
