@@ -39,6 +39,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("train", help="5-fold CV table + persist production model")
     add_root(p)
     p.add_argument("--no-host", action="store_true", help="skip sklearn baselines")
+    p.add_argument("--features", default="clean", choices=["clean", "raw", "both"])
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
     p = sub.add_parser("train-seq", help="train a CNN / CNN-BiLSTM sequence head")
@@ -82,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         from stutter_tpu.pipeline import run_cv, setup_logging
 
         setup_logging(os.path.join(args.root, cfg.data.output_dir))
-        res = run_cv(args.root, cfg, include_host=not args.no_host)
+        res = run_cv(args.root, cfg, include_host=not args.no_host,
+                     feature_set=args.features)
         for row in res["final_rows"]:
             print(
                 f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '

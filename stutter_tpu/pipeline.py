@@ -321,14 +321,24 @@ def run_before_after(root: str = ".", cfg: PipelineConfig = PipelineConfig()) ->
 
 
 def run_cv(
-    root: str = ".", cfg: PipelineConfig = PipelineConfig(), include_host: bool = True
+    root: str = ".",
+    cfg: PipelineConfig = PipelineConfig(),
+    include_host: bool = True,
+    feature_set: str = "clean",
 ) -> dict:
-    """Engine B: 5-fold CV production table on clean features
-    (ref: main.py:872-1006)."""
+    """Engine B: 5-fold CV production table (ref: main.py:872-1006).
+
+    feature_set: 'clean' (reference protocol), 'raw', or 'both' (raw+clean
+    concatenation — the corpus computes both anyway; +0.3pt CV accuracy)."""
     out_dir = os.path.join(root, cfg.data.output_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    X, labels, files = extract_corpus(root, cfg, "clean")
+    if feature_set == "both":
+        X_raw, labels, files = extract_corpus(root, cfg, "raw")
+        X_clean, _, _ = extract_corpus(root, cfg, "clean")
+        X = np.concatenate([X_raw, X_clean], axis=1)
+    else:
+        X, labels, files = extract_corpus(root, cfg, feature_set)
     le = LabelEncoder.fit(labels)
     y = le.transform(labels)
     class_names = le.classes_
