@@ -100,3 +100,20 @@ def test_zero_input_stays_finite():
     out = np.asarray(denoise_batch(jnp.asarray(y), jnp.asarray([24576], jnp.int32)))
     assert np.isfinite(out).all()
     np.testing.assert_array_equal(out, 0.0)
+
+
+def test_jax_matches_numpy_oracle(rng):
+    """Two independent implementations of the gate must agree closely."""
+    from stutter_tpu.oracle.denoise import denoise_clip as oracle_denoise
+
+    y = (_tone(20000, 500) * 0.6 + rng.randn(20000) * 0.05).astype(np.float32)
+    for prop in (1.0, 0.8):
+        cfg = DenoiseConfig(prop_decrease=prop)
+        ours = denoise_clips([y], cfg)[0]
+        ref = oracle_denoise(y, cfg)
+        # Per-stage agreement is ~1e-5, but the slope-10 sigmoid amplifies
+        # f32-vs-f64 magnitude differences ~100x near mask transitions, so
+        # pointwise output agreement between ANY two fp implementations of
+        # this gate (including noisereduce itself) is limited to ~2%.
+        assert np.abs(ours - ref).max() < 0.03
+        assert np.corrcoef(ours, ref)[0, 1] > 0.9999
