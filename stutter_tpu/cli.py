@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("file")
     p.add_argument("--window", type=float, default=3.0)
     p.add_argument("--hop", type=float, default=1.0)
+    p = sub.add_parser("serve", help="HTTP inference service (POST /predict)")
+    add_root(p)
+    p.add_argument("--port", type=int, default=8501)
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -127,6 +130,12 @@ def main(argv: list[str] | None = None) -> int:
         y, sr = load_mono(args.file, sr=cfg.features.frontend.sample_rate)
         for w in pred.predict_stream(y, sr, window_s=args.window, hop_s=args.hop):
             print(f'{w["start_s"]:7.2f}-{w["end_s"]:7.2f}s  {w["label"]}')
+    elif args.cmd == "serve":
+        from stutter_tpu.serve import serve
+
+        httpd = serve(os.path.join(args.root, cfg.data.output_dir), cfg, args.port)
+        print(f"serving on :{args.port} (POST /predict, /stream; GET /healthz)")
+        httpd.serve_forever()
     elif args.cmd == "bench":
         import subprocess
 

@@ -1,0 +1,114 @@
+"""Minimal HTTP inference service (stdlib-only).
+
+The reference serves predictions through a Streamlit sidebar upload widget
+(ref: main.py:1011-1035).  The framework equivalent is a small HTTP server
+over the Predictor:
+
+  POST /predict            body: WAV bytes -> {"label": ..., "proba": {...}}
+  POST /predict?denoise=0  skip the spectral gate
+  POST /stream?window=3&hop=1   long WAV -> [{start_s, end_s, label, proba}]
+  GET  /healthz            liveness + model metadata
+
+Run: python -m stutter_tpu serve --root WORK [--port 8501]
+(the reference's devcontainer also exposes port 8501, devcontainer.json:24-32).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from stutter_tpu.infer import Predictor
+from stutter_tpu.io.wav import read_wav
+
+
+def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        tmp.write(data)
+        tmp.flush()
+        y, sr = read_wav(tmp.name)
+    if y.ndim == 2:
+        y = y.mean(axis=1)
+    if sr != target_sr:
+        from stutter_tpu.ops.resample import resample
+
+        y = resample(y, sr, target_sr)
+    return y.astype(np.float32)
+
+
+def make_handler(predictor: Predictor):
+    sr = predictor.cfg.features.frontend.sample_rate
+    lock = threading.Lock()  # predictor dispatch is not re-entrant by contract
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict | list):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._send(
+                    200,
+                    {
+                        "status": "ok",
+                        "classes": predictor.label_encoder.classes_,
+                        "n_features": predictor.scaler.n_features_in_,
+                    },
+                )
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            q = parse_qs(parsed.query)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(length)
+                y = _decode_wav_bytes(data, sr)
+            except Exception as e:  # noqa: BLE001
+                self._send(400, {"error": f"bad audio: {e}"})
+                return
+            try:
+                with lock:
+                    if parsed.path == "/predict":
+                        predictor.denoise_first = q.get("denoise", ["1"])[0] != "0"
+                        out = predictor.predict_clip(y, sr)
+                    elif parsed.path == "/stream":
+                        out = predictor.predict_stream(
+                            y,
+                            sr,
+                            window_s=float(q.get("window", ["3.0"])[0]),
+                            hop_s=float(q.get("hop", ["1.0"])[0]),
+                        )
+                    else:
+                        self._send(404, {"error": "not found"})
+                        return
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, out)
+
+    return Handler
+
+
+def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True):
+    from stutter_tpu.config import PipelineConfig
+
+    predictor = Predictor.load(output_dir, cfg or PipelineConfig())
+    if warmup:
+        predictor.warmup()
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(predictor))
+    return httpd  # caller runs httpd.serve_forever()

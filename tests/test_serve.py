@@ -1,0 +1,72 @@
+"""HTTP serving endpoint over a live (local) server."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from stutter_tpu.config import PipelineConfig
+from stutter_tpu.infer import Predictor
+from stutter_tpu.io.wav import write_wav
+from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
+from stutter_tpu.serve import ThreadingHTTPServer, make_handler
+from stutter_tpu.train.trainer import MLPTrainConfig, fit_mlp
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    X = rng.randn(60, 149).astype(np.float32)
+    y = rng.randint(0, 2, 60)
+    pred = Predictor(
+        scaler=StandardScaler.fit(X),
+        label_encoder=LabelEncoder(classes_=["neg", "pos"]),
+        model=fit_mlp(X, y, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1, n_classes=2)),
+        cfg=PipelineConfig(),
+        denoise_first=False,
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pred))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def _wav_bytes(y, sr=16000):
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    write_wav(path, y, sr)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    return data
+
+
+def test_healthz(server):
+    r = json.loads(urllib.request.urlopen(server + "/healthz").read())
+    assert r["status"] == "ok" and r["classes"] == ["neg", "pos"]
+
+
+def test_predict_endpoint(server, rng):
+    data = _wav_bytes((rng.randn(16000) * 0.2).astype(np.float32))
+    req = urllib.request.Request(server + "/predict?denoise=0", data=data, method="POST")
+    r = json.loads(urllib.request.urlopen(req).read())
+    assert r["label"] in {"neg", "pos"}
+    assert abs(sum(r["proba"].values()) - 1) < 1e-5
+
+
+def test_predict_resamples(server, rng):
+    data = _wav_bytes((rng.randn(22050) * 0.2).astype(np.float32), sr=22050)
+    req = urllib.request.Request(server + "/predict?denoise=0", data=data, method="POST")
+    r = json.loads(urllib.request.urlopen(req).read())
+    assert r["label"] in {"neg", "pos"}
+
+
+def test_bad_payload_400(server):
+    req = urllib.request.Request(server + "/predict", data=b"not a wav", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
