@@ -40,6 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     add_root(p)
     p.add_argument("--no-host", action="store_true", help="skip sklearn baselines")
     p.add_argument("--features", default="clean", choices=["clean", "raw", "both"])
+    p.add_argument("--seq", action="store_true", help="also CV the CNN/CNN-BiLSTM heads")
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
     p = sub.add_parser("train-seq", help="train a CNN / CNN-BiLSTM sequence head")
@@ -87,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
 
         setup_logging(os.path.join(args.root, cfg.data.output_dir))
         res = run_cv(args.root, cfg, include_host=not args.no_host,
-                     feature_set=args.features)
+                     feature_set=args.features, include_seq=args.seq)
         for row in res["final_rows"]:
             print(
                 f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '

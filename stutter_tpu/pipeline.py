@@ -325,6 +325,7 @@ def run_cv(
     cfg: PipelineConfig = PipelineConfig(),
     include_host: bool = True,
     feature_set: str = "clean",
+    include_seq: bool = False,
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
@@ -389,6 +390,35 @@ def run_cv(
                     rf_full = model
         except ImportError:
             log.warning("sklearn unavailable; host baselines skipped")
+
+    if include_seq:
+        # Sequence heads (CNN / CNN-BiLSTM) on the decodable denoised clips —
+        # their row set is the clips with clear_audio WAVs, so their folds are
+        # computed over that subset (noted in the table row name).
+        from stutter_tpu.train.seq_pipeline import cross_validate_seq, load_corpus_clips
+        from stutter_tpu.train.seq_trainer import SeqTrainConfig
+
+        clips, seq_labels = load_corpus_clips(root, cfg)
+        y_seq = le.transform(seq_labels)
+        seq_folds = stratified_kfold(y_seq, cfg.train.n_folds, cfg.train.seed)
+        for arch in ("cnn", "cnn_bilstm"):
+            t0 = time.time()
+            pred_s, _ = cross_validate_seq(
+                arch, clips, y_seq, seq_folds, len(class_names),
+                SeqTrainConfig(epochs=80, batch_size=64),
+            )
+            p, r, f, _ = evals.precision_recall_fscore(y_seq, pred_s, len(class_names), "macro")
+            final_rows.append(
+                {
+                    "Model": f"{arch.upper()}-TPU",
+                    "Accuracy (%)": evals.accuracy(y_seq, pred_s) * 100,
+                    "Precision (%)": p * 100,
+                    "Recall (%)": r * 100,
+                    "F1-Score (%)": f * 100,
+                }
+            )
+            log.info("%s CV done in %.1fs: acc=%.1f%%", arch, time.time() - t0,
+                     final_rows[-1]["Accuracy (%)"])
 
     evals.write_final_performance_csv(
         os.path.join(out_dir, "FINAL_PERFORMANCE_TABLE.csv"), final_rows

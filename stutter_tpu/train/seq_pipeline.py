@@ -64,6 +64,34 @@ def load_corpus_clips(root: str, cfg: PipelineConfig) -> tuple[list[np.ndarray],
     return clips, labels
 
 
+def cross_validate_seq(
+    arch: str,
+    clips: list[np.ndarray],
+    y: np.ndarray,
+    folds: list[tuple[np.ndarray, np.ndarray]],
+    n_classes: int,
+    train_cfg: SeqTrainConfig = SeqTrainConfig(epochs=80, batch_size=64),
+) -> tuple[np.ndarray, np.ndarray]:
+    """K-fold CV for a sequence head; returns (y_pred, y_proba) in row order.
+
+    The dataset is featurized once; per-fold standardization uses the train
+    rows only (no leakage)."""
+    spec = ARCHS[arch]
+    X, nv = prepare_sequence_dataset(clips, kind=spec["kind"])
+    N = len(clips)
+    y_proba = np.zeros((N, n_classes), np.float32)
+    for tr, te in folds:
+        Xs_tr, mean, std = standardize_sequences(X[tr], nv[tr])
+        mask = (np.arange(X.shape[1])[None, :] < nv[:, None])[..., None]
+        Xs_all = ((X - mean) / std * mask).astype(np.float32)
+        params = train_sequence_model(
+            spec["init_fn"], spec["apply_fn"], Xs_all[tr], nv[tr], y[tr],
+            n_classes, train_cfg, spec["init_kwargs"](n_classes),
+        )
+        y_proba[te] = predict_sequence_model(spec["apply_fn"], params, Xs_all[te], nv[te])
+    return y_proba.argmax(-1), y_proba
+
+
 def run_seq(
     root: str = ".",
     arch: str = "cnn_bilstm",
