@@ -29,7 +29,7 @@ class FeatureCache:
         os.makedirs(cache_dir, exist_ok=True)
 
     def path_for(self, audio_path: str, suffix: str) -> str:
-        return cache_path(self.cache_dir, audio_path, suffix)
+        return cache_path(self.cache_dir, audio_path, suffix, self.feature_len)
 
     def load(self, audio_path: str, suffix: str) -> np.ndarray | None:
         """Silent-None on missing/corrupt entries (ref: pipeline1.py:117-121)."""
@@ -58,6 +58,19 @@ class FeatureCache:
             )
         self._seen_stems[stem] = parent
         p = self.path_for(audio_path, suffix)
+        # Refuse-to-overwrite guard: an existing entry whose shape differs from
+        # this cache's contract means variant mixing or corruption — never
+        # destroy it silently (the reference would; SURVEY.md §5.4).
+        if os.path.exists(p):
+            try:
+                existing = np.load(p)
+            except Exception:
+                existing = None
+            if existing is not None and existing.shape != feats.shape:
+                raise ValueError(
+                    f"refusing to overwrite {p}: existing shape {existing.shape} "
+                    f"!= new {feats.shape} (feature-variant mismatch?)"
+                )
         fd, tmp = tempfile.mkstemp(dir=self.cache_dir, suffix=".npy.tmp")
         try:
             with os.fdopen(fd, "wb") as f:

@@ -60,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("serve", help="HTTP inference service (POST /predict)")
     add_root(p)
     p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (0.0.0.0 to expose externally)")
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -81,8 +83,9 @@ def main(argv: list[str] | None = None) -> int:
 
         suffixes = ["raw", "clean"] if args.suffix == "both" else [args.suffix]
         for sfx in suffixes:
-            X, labels, files = extract_corpus(args.root, cfg, sfx)
-            print(f"{sfx}: {X.shape[0]} vectors x {X.shape[1]} dims cached")
+            X, labels, files, ok = extract_corpus(args.root, cfg, sfx)
+            extra = "" if ok.all() else f" ({int((~ok).sum())} rows failed decode)"
+            print(f"{sfx}: {int(ok.sum())} vectors x {X.shape[1]} dims cached{extra}")
     elif args.cmd == "train":
         from stutter_tpu.pipeline import run_cv, setup_logging
 
@@ -134,8 +137,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from stutter_tpu.serve import serve
 
-        httpd = serve(os.path.join(args.root, cfg.data.output_dir), cfg, args.port)
-        print(f"serving on :{args.port} (POST /predict, /stream; GET /healthz)")
+        httpd = serve(os.path.join(args.root, cfg.data.output_dir), cfg, args.port,
+                      host=args.host)
+        print(f"serving on {args.host}:{args.port} (POST /predict, /stream; GET /healthz)")
         httpd.serve_forever()
     elif args.cmd == "bench":
         import subprocess

@@ -51,10 +51,18 @@ def label_of(path: str) -> str:
     return os.path.basename(os.path.dirname(path)) or "unknown"
 
 
-def cache_path(cache_dir: str, audio_path: str, suffix: str) -> str:
-    """cache_features/<stem>_{raw|clean}_feats.npy (ref: pipeline1.py:431-432)."""
+def cache_path(cache_dir: str, audio_path: str, suffix: str, feature_len: int = 149) -> str:
+    """cache_features/<stem>_{raw|clean}_feats.npy (ref: pipeline1.py:431-432).
+
+    The exact reference filename is reserved for the canonical 149-dim
+    contract; other variants (e.g. the 334/286-dim main.py geometry) get a
+    length-tagged name so regenerating one variant can never clobber the
+    reference-compatible entries of another (the reference itself shares this
+    hazard across its three apps; SURVEY.md §5.4 says guard it).
+    """
     stem = Path(audio_path).stem
-    return os.path.join(cache_dir, f"{stem}_{suffix}_feats.npy")
+    tag = "" if feature_len == 149 else f"_d{feature_len}"
+    return os.path.join(cache_dir, f"{stem}_{suffix}_feats{tag}.npy")
 
 
 def find_stem_collisions(root: str) -> dict[str, list[str]]:

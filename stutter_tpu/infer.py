@@ -20,7 +20,7 @@ from stutter_tpu.config import DenoiseConfig, PipelineConfig
 from stutter_tpu.denoise import denoise_clips
 from stutter_tpu.io.wav import load_mono
 from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
-from stutter_tpu.ops.frontend import extract_features_149_numpy
+from stutter_tpu.ops.frontend import extract_features_numpy
 from stutter_tpu.train.trainer import FittedMLP
 
 
@@ -54,17 +54,20 @@ class Predictor:
 
         for bucket in buckets or DEFAULT_BUCKETS:
             silent = np.zeros(bucket, np.float32)
-            feats = extract_features_149_numpy([silent], sr=self.cfg.features.frontend.sample_rate)
+            feats = extract_features_numpy([silent], self.cfg.features)
             self.model.predict_proba(
                 self.scaler.transform(feats).astype(np.float32)
             )
 
-    def predict_clip(self, y: np.ndarray, sr: int = 16000) -> dict:
+    def predict_clip(self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None) -> dict:
         """One clip -> {label, proba: {class: p}}; the full reference path:
-        denoise -> extract -> shape guard -> scale -> predict."""
-        if self.denoise_first:
+        denoise -> extract -> shape guard -> scale -> predict.
+
+        `denoise` overrides the instance default per call (serving uses this
+        so concurrent requests never mutate shared Predictor state)."""
+        if self.denoise_first if denoise is None else denoise:
             y = denoise_clips([y], self.cfg.denoise)[0]
-        feats = extract_features_149_numpy([y], sr=sr)[0]
+        feats = extract_features_numpy([y], self.cfg.features)[0]
         # shape guard (ref: main1.py:976-981)
         if feats.shape[0] != self.scaler.n_features_in_:
             raise ValueError(
@@ -79,9 +82,14 @@ class Predictor:
             "proba": {c: float(p) for c, p in zip(self.label_encoder.classes_, proba)},
         }
 
-    def predict_file(self, path: str) -> dict:
-        y, sr = load_mono(path, sr=self.cfg.features.frontend.sample_rate)
-        return self.predict_clip(y, sr)
+    def predict_file(self, path: str, denoise: bool | None = None, decoder=None) -> dict:
+        """Classify one file; `decoder` is the pluggable decode hook for
+        non-WAV formats (stutter_tpu.io.decode)."""
+        from stutter_tpu.io.decode import decode_audio
+
+        sr = self.cfg.features.frontend.sample_rate
+        y = decode_audio(path, sr, decoder=decoder)
+        return self.predict_clip(y, sr, denoise=denoise)
 
     # ------------------------------------------------------------------
     # Streaming windowed inference (BASELINE.json config #5)
@@ -103,8 +111,10 @@ class Predictor:
         """
         import jax.numpy as jnp
 
-        from stutter_tpu.ops.frontend import extract_features_149_batch
+        from stutter_tpu.ops.frontend import batch_extractor_for
         from stutter_tpu.train.trainer import predict_proba_grid
+
+        extract_batch, _ = batch_extractor_for(self.cfg.features)
 
         win = int(window_s * sr)
         win = -(-win // 512) * 512  # hop-multiple bucket
@@ -142,7 +152,7 @@ class Predictor:
                 batch[j, : len(seg)] = seg
                 lens[j] = len(seg)
             lens[len(chunk) :] = win  # dummy rows; discarded below
-            feats = extract_features_149_batch(jnp.asarray(batch), jnp.asarray(lens), sr=sr)
+            feats = extract_batch(jnp.asarray(batch), jnp.asarray(lens))
             xs = (feats - mean) / scale
             probs = predict_proba_grid(
                 self.model.params,

@@ -64,12 +64,21 @@ def native_available() -> bool:
 
 
 def load_wav_batch(
-    paths: list[str], n_samples_max: int, sr: int = 16000, n_threads: int = 8
+    paths: list[str],
+    n_samples_max: int,
+    sr: int = 16000,
+    n_threads: int = 8,
+    decoder=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of WAVs into a padded [B, n_max] f32 buffer + lengths.
 
-    Rows that fail native decode fall back to the Python reader; rows that
-    fail both are zeros with length 0 (reference degrade semantics).
+    Rows that fail native decode fall back to the Python reader, then to the
+    pluggable `decoder` hook (path -> float32 PCM at `sr`; see
+    stutter_tpu.io.decode) for non-WAV formats like mp3 — the reference
+    decodes mp3 through librosa/audioread (ref: pipeline1.py:100-106), which
+    this environment lacks; deployments with ffmpeg register a hook instead.
+    Rows that fail everything are zeros with length 0 (reference degrade
+    semantics).
     """
     B = len(paths)
     out = np.zeros((B, n_samples_max), np.float32)
@@ -86,13 +95,13 @@ def load_wav_batch(
             sr,
             n_threads,
         )
-    # Python fallback for rows the native decoder rejected
-    from stutter_tpu.io.wav import load_mono
+    # Python / hook fallback for rows the native decoder rejected
+    from stutter_tpu.io.decode import decode_audio
 
     for i, p in enumerate(paths):
         if lengths[i] == 0:
             try:
-                y, _ = load_mono(p, sr=sr)
+                y = decode_audio(p, sr, decoder=decoder)
                 n = min(len(y), n_samples_max)
                 out[i, :n] = y[:n]
                 lengths[i] = n

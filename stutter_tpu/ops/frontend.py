@@ -91,18 +91,16 @@ def pad_to_bucket(n: int, buckets=DEFAULT_BUCKETS, hop: int = 512) -> int:
     return buckets[-1]
 
 
-def extract_features_149_numpy(
+def run_bucketed(
     clips: list[np.ndarray],
-    sr: int = 16000,
+    batch_fn,
+    out_dim: int,
     buckets=DEFAULT_BUCKETS,
     batch_size: int = 256,
 ) -> np.ndarray:
-    """Host convenience wrapper: list of 1-D float32 clips -> [n, 149] features.
-
-    Groups clips by bucket, pads, runs the jitted batched extractor, and
-    restores the original order.
-    """
-    out = np.zeros((len(clips), 149), np.float32)
+    """Generic bucketed host driver: group clips by sample bucket, pad, run the
+    jitted `batch_fn(audio [B,N], lengths [B]) -> [B, out_dim]`, restore order."""
+    out = np.zeros((len(clips), out_dim), np.float32)
     by_bucket: dict[int, list[int]] = {}
     for i, y in enumerate(clips):
         by_bucket.setdefault(pad_to_bucket(len(y), buckets), []).append(i)
@@ -115,6 +113,63 @@ def extract_features_149_numpy(
                 y = clips[i][:bucket]
                 batch[j, : len(y)] = y
                 lens[j] = len(y)
-            feats = extract_features_149_batch(jnp.asarray(batch), jnp.asarray(lens), sr=sr)
+            feats = batch_fn(jnp.asarray(batch), jnp.asarray(lens))
             out[chunk] = np.asarray(feats)
     return out
+
+
+def extract_features_149_numpy(
+    clips: list[np.ndarray],
+    sr: int = 16000,
+    buckets=DEFAULT_BUCKETS,
+    batch_size: int = 256,
+) -> np.ndarray:
+    """Host convenience wrapper: list of 1-D float32 clips -> [n, 149] features.
+
+    Groups clips by bucket, pads, runs the jitted batched extractor, and
+    restores the original order.
+    """
+    return run_bucketed(
+        clips, partial(extract_features_149_batch, sr=sr), 149, buckets, batch_size
+    )
+
+
+def batch_extractor_for(feature_cfg) -> tuple:
+    """(jitted batch_fn, out_dim) for a FeatureConfig — dispatches between the
+    canonical 149-dim contract and the 334-variant (main.py geometry, fixed
+    semantics; its computed length is 286, SURVEY.md §0)."""
+    fe = feature_cfg.frontend
+    if feature_cfg.include_contrast or feature_cfg.include_scalars:
+        from stutter_tpu.ops.frontend334 import extract_features_334_batch
+
+        fn = partial(
+            extract_features_334_batch,
+            sr=fe.sample_rate,
+            n_fft=fe.n_fft,
+            hop_length=fe.hop_length,
+            n_mels=fe.n_mels,
+            n_mfcc=fe.n_mfcc,
+            n_chroma=fe.n_chroma,
+        )
+    else:
+        fn = partial(
+            extract_features_149_batch,
+            sr=fe.sample_rate,
+            n_fft=fe.n_fft,
+            hop_length=fe.hop_length,
+            n_mels=fe.n_mels,
+            n_mfcc=fe.n_mfcc,
+            n_chroma=fe.n_chroma,
+        )
+    return fn, feature_cfg.total_feature_len
+
+
+def extract_features_numpy(
+    clips: list[np.ndarray],
+    feature_cfg,
+    buckets=DEFAULT_BUCKETS,
+    batch_size: int = 256,
+) -> np.ndarray:
+    """Variant-aware host wrapper: clips -> [n, feature_cfg.total_feature_len]."""
+    fn, out_dim = batch_extractor_for(feature_cfg)
+    return run_bucketed(clips, fn, out_dim, buckets, batch_size)

@@ -32,7 +32,6 @@ from stutter_tpu.data import label_of, list_audio_files
 from stutter_tpu.denoise import denoise_clips
 from stutter_tpu.io.wav import load_mono, write_wav
 from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
-from stutter_tpu.ops.frontend import extract_features_149_numpy
 from stutter_tpu.train.splits import stratified_kfold, stratified_train_test_split
 from stutter_tpu.train.trainer import FittedMLP, MLPTrainConfig, cross_validate_mlp, fit_mlp
 
@@ -149,25 +148,40 @@ def extract_corpus(
     cfg: PipelineConfig = PipelineConfig(),
     suffix: str = "clean",
     source_dir: str | None = None,
-) -> tuple[np.ndarray, list[str], list[str]]:
+    decoder=None,
+) -> tuple[np.ndarray, list[str], list[str], np.ndarray]:
     """Batched TPU feature extraction over the corpus with cache reuse.
 
     suffix='clean' reads clips from clear_dir (by stem); suffix='raw' decodes
-    the original files. Returns (X [n,149], labels, files).
+    the original files.  `decoder` is an optional pluggable decode hook
+    (path -> float32 PCM at cfg sample rate) for formats the built-in WAV
+    reader can't handle — e.g. mp3 via ffmpeg on deployments that have it
+    (ref decodes mp3 through librosa/audioread, pipeline1.py:100-106).
+
+    Dispatches between the 149-dim contract and the 334-variant on
+    cfg.features; each variant has its own cache namespace (data.cache_path).
+
+    Returns (X [n, D], labels, files, ok [n] bool).  Rows whose decode failed
+    (no cache entry and undecodable audio) are zero with ok=False — callers
+    training on X must drop them (the reference silently trains on the zero
+    vectors its exception path produces; we surface them instead).
     """
     data = cfg.data
     sr = cfg.features.frontend.sample_rate
+    dim = cfg.features.total_feature_len
     files = list_audio_files(os.path.join(root, data.data_dir), data.audio_exts)
-    cache = FeatureCache(os.path.join(root, data.cache_dir), cfg.features.total_feature_len)
+    cache = FeatureCache(os.path.join(root, data.cache_dir), dim)
 
     labels = [label_of(f) for f in files]
-    X = np.zeros((len(files), cfg.features.total_feature_len), np.float32)
+    X = np.zeros((len(files), dim), np.float32)
+    ok = np.zeros(len(files), bool)
     miss_rows: list[int] = []
     miss_paths: list[str] = []
     for i, f in enumerate(files):
         cached = cache.load(f, suffix)
-        if cached is not None and cached.shape == (cfg.features.total_feature_len,):
+        if cached is not None and cached.shape == (dim,):
             X[i] = cached
+            ok[i] = True
             continue
         miss_rows.append(i)
         miss_paths.append(
@@ -178,16 +192,24 @@ def extract_corpus(
     if miss_rows:
         # native multithreaded batch decode with Python fallback per row
         from stutter_tpu.io.native import load_wav_batch
-        from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
+        from stutter_tpu.ops.frontend import DEFAULT_BUCKETS, batch_extractor_for, run_bucketed
 
-        audio, lens = load_wav_batch(miss_paths, DEFAULT_BUCKETS[-1], sr)
+        audio, lens = load_wav_batch(miss_paths, DEFAULT_BUCKETS[-1], sr, decoder=decoder)
         keep = [(i, audio[j, : lens[j]]) for j, i in enumerate(miss_rows) if lens[j] > 0]
         if keep:
-            feats = extract_features_149_numpy([y for _, y in keep], sr=sr)
+            fn, _ = batch_extractor_for(cfg.features)
+            feats = run_bucketed([y for _, y in keep], fn, dim)
             for (i, _), v in zip(keep, feats):
                 X[i] = v
+                ok[i] = True
                 cache.store(files[i], suffix, v)
-    return X, labels, files
+    n_failed = int((~ok).sum())
+    if n_failed:
+        log.warning(
+            "extract_corpus(%s): %d/%d rows failed decode and are zero/ok=False",
+            suffix, n_failed, len(files),
+        )
+    return X, labels, files, ok
 
 
 def _evaluate_models(models: dict, X_tr, y_tr, X_te, y_te, set_name, out_dir, class_names):
@@ -269,8 +291,15 @@ def run_before_after(root: str = ".", cfg: PipelineConfig = PipelineConfig()) ->
     out_dir = os.path.join(root, cfg.data.output_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    X_raw, labels, files = extract_corpus(root, cfg, "raw")
-    X_clean, _, _ = extract_corpus(root, cfg, "clean")
+    X_raw, labels, files, ok_r = extract_corpus(root, cfg, "raw")
+    X_clean, _, _, ok_c = extract_corpus(root, cfg, "clean")
+    keep = ok_r & ok_c
+    if not keep.all():
+        log.warning("dropping %d undecodable rows from engine A", int((~keep).sum()))
+        X_raw, X_clean = X_raw[keep], X_clean[keep]
+        labels = [l for l, k in zip(labels, keep) if k]
+    if not labels:
+        raise RuntimeError("no decodable corpus rows; run preprocess first")
     le = LabelEncoder.fit(labels)
     y = le.transform(labels)
     class_names = le.classes_
@@ -335,11 +364,17 @@ def run_cv(
     os.makedirs(out_dir, exist_ok=True)
 
     if feature_set == "both":
-        X_raw, labels, files = extract_corpus(root, cfg, "raw")
-        X_clean, _, _ = extract_corpus(root, cfg, "clean")
-        X = np.concatenate([X_raw, X_clean], axis=1)
+        X_raw, labels, files, ok_r = extract_corpus(root, cfg, "raw")
+        X_clean, _, _, ok_c = extract_corpus(root, cfg, "clean")
+        X, ok = np.concatenate([X_raw, X_clean], axis=1), ok_r & ok_c
     else:
-        X, labels, files = extract_corpus(root, cfg, feature_set)
+        X, labels, files, ok = extract_corpus(root, cfg, feature_set)
+    if not ok.all():
+        log.warning("dropping %d undecodable rows from engine B", int((~ok).sum()))
+        X = X[ok]
+        labels = [l for l, k in zip(labels, ok) if k]
+    if not labels:
+        raise RuntimeError("no decodable corpus rows; run preprocess first")
     le = LabelEncoder.fit(labels)
     y = le.transform(labels)
     class_names = le.classes_

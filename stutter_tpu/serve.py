@@ -42,7 +42,11 @@ def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
     return y.astype(np.float32)
 
 
-def make_handler(predictor: Predictor):
+MAX_UPLOAD_BYTES = 100 * 1024 * 1024  # reject oversized uploads before reading
+# (the reference's Streamlit uploader caps at 200 MB by default)
+
+
+def make_handler(predictor: Predictor, max_upload_bytes: int = MAX_UPLOAD_BYTES):
     sr = predictor.cfg.features.frontend.sample_rate
     lock = threading.Lock()  # predictor dispatch is not re-entrant by contract
 
@@ -76,6 +80,13 @@ def make_handler(predictor: Predictor):
             q = parse_qs(parsed.query)
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send(400, {"error": "bad Content-Length"})
+                return
+            if length > max_upload_bytes:
+                self._send(413, {"error": f"upload exceeds {max_upload_bytes} bytes"})
+                return
+            try:
                 data = self.rfile.read(length)
                 y = _decode_wav_bytes(data, sr)
             except Exception as e:  # noqa: BLE001
@@ -84,8 +95,10 @@ def make_handler(predictor: Predictor):
             try:
                 with lock:
                     if parsed.path == "/predict":
-                        predictor.denoise_first = q.get("denoise", ["1"])[0] != "0"
-                        out = predictor.predict_clip(y, sr)
+                        # per-request flag: never mutate the shared Predictor
+                        out = predictor.predict_clip(
+                            y, sr, denoise=q.get("denoise", ["1"])[0] != "0"
+                        )
                     elif parsed.path == "/stream":
                         out = predictor.predict_stream(
                             y,
@@ -104,11 +117,14 @@ def make_handler(predictor: Predictor):
     return Handler
 
 
-def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True):
+def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
+          host: str = "127.0.0.1"):
+    """Build the HTTP server (bind localhost by default; pass host='0.0.0.0'
+    to expose it like the reference's Streamlit port does)."""
     from stutter_tpu.config import PipelineConfig
 
     predictor = Predictor.load(output_dir, cfg or PipelineConfig())
     if warmup:
         predictor.warmup()
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(predictor))
+    httpd = ThreadingHTTPServer((host, port), make_handler(predictor))
     return httpd  # caller runs httpd.serve_forever()

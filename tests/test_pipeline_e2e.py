@@ -54,14 +54,16 @@ def test_preprocess_writes_analysis(workspace, cfg):
 def test_extract_populates_cache(workspace, cfg):
     from stutter_tpu.pipeline import extract_corpus
 
-    X, labels, files = extract_corpus(workspace, cfg, "clean")
+    X, labels, files, ok = extract_corpus(workspace, cfg, "clean")
     assert X.shape == (20, 149)
+    assert ok.all()
     assert (np.abs(X).sum(axis=1) > 0).all()
     assert os.path.exists(
         os.path.join(workspace, "cache_features", "clip_tonal_0_clean_feats.npy")
     )
     # second call: all cache hits, identical
-    X2, _, _ = extract_corpus(workspace, cfg, "clean")
+    X2, _, _, ok2 = extract_corpus(workspace, cfg, "clean")
+    assert ok2.all()
     np.testing.assert_array_equal(X, X2)
 
 
