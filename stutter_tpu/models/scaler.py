@@ -18,14 +18,25 @@ import numpy as np
 class StandardScaler:
     mean_: np.ndarray
     scale_: np.ndarray
+    # raw per-feature variance and sample count, kept so the fitted state can
+    # be exported as a bit-faithful sklearn StandardScaler (persist.py); older
+    # saved scalers may lack them.
+    var_: np.ndarray | None = None
+    n_samples_seen_: int | None = None
 
     @classmethod
     def fit(cls, X: np.ndarray) -> "StandardScaler":
         mean = X.mean(axis=0, dtype=np.float64)
-        std = X.std(axis=0, dtype=np.float64)
+        var = X.var(axis=0, dtype=np.float64)
+        std = np.sqrt(var)
         # sklearn _handle_zeros_in_scale: zero variance -> scale 1
         scale = np.where(std == 0.0, 1.0, std)
-        return cls(mean_=mean.astype(np.float32), scale_=scale.astype(np.float32))
+        return cls(
+            mean_=mean.astype(np.float32),
+            scale_=scale.astype(np.float32),
+            var_=var,
+            n_samples_seen_=int(X.shape[0]),
+        )
 
     def transform(self, X):
         return (X - self.mean_) / self.scale_
@@ -38,11 +49,20 @@ class StandardScaler:
         return int(self.mean_.shape[0])
 
     def to_arrays(self) -> dict:
-        return {"mean": self.mean_, "scale": self.scale_}
+        out = {"mean": self.mean_, "scale": self.scale_}
+        if self.var_ is not None:
+            out["var"] = self.var_
+            out["n_samples"] = np.asarray(self.n_samples_seen_ or 0)
+        return out
 
     @classmethod
     def from_arrays(cls, d: dict) -> "StandardScaler":
-        return cls(mean_=np.asarray(d["mean"]), scale_=np.asarray(d["scale"]))
+        return cls(
+            mean_=np.asarray(d["mean"]),
+            scale_=np.asarray(d["scale"]),
+            var_=np.asarray(d["var"]) if "var" in d else None,
+            n_samples_seen_=int(d["n_samples"]) if "n_samples" in d else None,
+        )
 
 
 @dataclasses.dataclass

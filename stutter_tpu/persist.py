@@ -84,16 +84,52 @@ def load_label_encoder(path: str | Path) -> LabelEncoder:
     return LabelEncoder(classes_=json.loads(Path(path).read_text())["classes"])
 
 
+def to_sklearn_scaler(scaler: StandardScaler):
+    """Export the fitted state as a real sklearn StandardScaler so reference
+    code can `joblib.load('scaler_after.pkl').transform(X)` unchanged
+    (ref consumers: main1.py:983-987)."""
+    from sklearn.preprocessing import StandardScaler as SkScaler
+
+    sk = SkScaler()
+    mean = np.asarray(scaler.mean_, np.float64)
+    scale = np.asarray(scaler.scale_, np.float64)
+    sk.mean_ = mean
+    sk.scale_ = scale
+    # var_ is the RAW variance (0 where scale_ was clamped to 1); fall back to
+    # scale_**2 for scalers saved before var_ was tracked.
+    sk.var_ = np.asarray(scaler.var_, np.float64) if scaler.var_ is not None else scale**2
+    sk.n_features_in_ = mean.shape[0]
+    sk.n_samples_seen_ = int(scaler.n_samples_seen_ or 0)
+    return sk
+
+
+def to_sklearn_label_encoder(le: LabelEncoder):
+    """Export as a real sklearn LabelEncoder (classes_ must be an ndarray)."""
+    from sklearn.preprocessing import LabelEncoder as SkLE
+
+    sk = SkLE()
+    sk.classes_ = np.asarray(le.classes_, dtype=object)
+    return sk
+
+
 def save_sklearn_artifacts(output_dir: str, scaler=None, le=None, rf=None) -> None:
-    """Reference-compatible pickles (ref filenames, main.py:889-890, 948)."""
+    """Reference-compatible pickles (ref filenames, main.py:889-890, 948).
+
+    scaler/le may be framework-native (StandardScaler/LabelEncoder above) —
+    they are converted to genuine sklearn estimators before pickling so the
+    output directory is consumable by unmodified reference code."""
     try:
         import joblib
     except Exception:
         return
     os.makedirs(output_dir, exist_ok=True)
     if scaler is not None:
+        if isinstance(scaler, StandardScaler):
+            scaler = to_sklearn_scaler(scaler)
         joblib.dump(scaler, os.path.join(output_dir, "scaler_after.pkl"))
     if le is not None:
+        if isinstance(le, LabelEncoder):
+            le = to_sklearn_label_encoder(le)
         joblib.dump(le, os.path.join(output_dir, "label_encoder.pkl"))
     if rf is not None:
         joblib.dump(rf, os.path.join(output_dir, "model_rf.pkl"))

@@ -335,6 +335,22 @@ def run_before_after(root: str = ".", cfg: PipelineConfig = PipelineConfig()) ->
         results[set_name] = {"models": models, "probs": probs, "preds": preds}
     evals.write_metrics_summary_csv(os.path.join(out_dir, "metrics_summary.csv"), all_metrics)
 
+    # accuracy / log-loss bar charts for the before/after run
+    # (ref renders these with Plotly, pipeline1.py:533-542)
+    from stutter_tpu import report
+
+    bar_labels = [f'{r["dataset"]}/{r["model"]}' for r in all_metrics]
+    report.write_html(
+        os.path.join(out_dir, "metrics_summary.html"),
+        "Before/After Cleaning — Model Metrics",
+        [
+            report.bar_svg(bar_labels, [r["accuracy"] for r in all_metrics],
+                           "Accuracy (%)"),
+            report.bar_svg(bar_labels, [r["test_loss"] for r in all_metrics],
+                           "Log-loss", unit=""),
+        ],
+    )
+
     # RF feature importances on 'after' (ref: pipeline1.py:605-618)
     rf = results["after"]["models"].get("RandomForest")
     if rf is not None and hasattr(rf, "feature_importances_"):
@@ -360,8 +376,13 @@ def run_cv(
 
     feature_set: 'clean' (reference protocol), 'raw', or 'both' (raw+clean
     concatenation — the corpus computes both anyway; +0.3pt CV accuracy)."""
+    from stutter_tpu import persist
+
     out_dir = os.path.join(root, cfg.data.output_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # delete stale model pickles so feature-shape drift fails loudly at
+    # inference instead of misclassifying (ref: main1.py:795-799)
+    persist.clear_stale_artifacts(out_dir)
 
     if feature_set == "both":
         X_raw, labels, files, ok_r = extract_corpus(root, cfg, "raw")
@@ -383,24 +404,31 @@ def run_cv(
     Xs = scaler.transform(X).astype(np.float32)
     folds = stratified_kfold(y, cfg.train.n_folds, cfg.train.seed)
 
-    from stutter_tpu import persist
-
     persist.save_scaler(os.path.join(out_dir, "scaler_after.npz"), scaler)
     persist.save_label_encoder(os.path.join(out_dir, "label_encoder.json"), le)
 
     final_rows = []
 
+    def cv_row(name, y_true, y_pred, row_folds):
+        """Per-fold macro metrics averaged across folds — the reference's
+        protocol exactly (ref: main.py:918-944), not pooled out-of-fold."""
+        accs, ps, rs, fs = [], [], [], []
+        for _, te in row_folds:
+            accs.append(evals.accuracy(y_true[te], y_pred[te]))
+            p, r, f, _ = evals.precision_recall_fscore(
+                y_true[te], y_pred[te], len(class_names), "macro"
+            )
+            ps.append(p), rs.append(r), fs.append(f)
+        return {
+            "Model": name,
+            "Accuracy (%)": float(np.mean(accs)) * 100,
+            "Precision (%)": float(np.mean(ps)) * 100,
+            "Recall (%)": float(np.mean(rs)) * 100,
+            "F1-Score (%)": float(np.mean(fs)) * 100,
+        }
+
     def add_row(name, y_pred):
-        p, r, f, _ = evals.precision_recall_fscore(y, y_pred, len(class_names), "macro")
-        final_rows.append(
-            {
-                "Model": name,
-                "Accuracy (%)": evals.accuracy(y, y_pred) * 100,
-                "Precision (%)": p * 100,
-                "Recall (%)": r * 100,
-                "F1-Score (%)": f * 100,
-            }
-        )
+        final_rows.append(cv_row(name, y, y_pred, folds))
 
     # TPU model: whole folds-x-seeds grid in one jit
     t0 = time.time()
@@ -442,16 +470,7 @@ def run_cv(
                 arch, clips, y_seq, seq_folds, len(class_names),
                 SeqTrainConfig(epochs=80, batch_size=64),
             )
-            p, r, f, _ = evals.precision_recall_fscore(y_seq, pred_s, len(class_names), "macro")
-            final_rows.append(
-                {
-                    "Model": f"{arch.upper()}-TPU",
-                    "Accuracy (%)": evals.accuracy(y_seq, pred_s) * 100,
-                    "Precision (%)": p * 100,
-                    "Recall (%)": r * 100,
-                    "F1-Score (%)": f * 100,
-                }
-            )
+            final_rows.append(cv_row(f"{arch.upper()}-TPU", y_seq, pred_s, seq_folds))
             log.info("%s CV done in %.1fs: acc=%.1f%%", arch, time.time() - t0,
                      final_rows[-1]["Accuracy (%)"])
 
@@ -472,21 +491,56 @@ def run_cv(
         ],
     )
 
-    # Train + persist the production TPU model on all data
+    # Train + persist the production TPU model on all data, plus the
+    # reference-consumable pickle trio (ref: main.py:889-890, 948)
     fitted = fit_mlp(Xs, y, mlp_cfg)
     persist.save_mlp(os.path.join(out_dir, "model_mlp_tpu"), fitted)
-    persist.save_sklearn_artifacts(out_dir, rf=rf_full)
+    persist.save_sklearn_artifacts(out_dir, scaler=scaler, le=le, rf=rf_full)
 
-    # Permutation importance (ref: main.py:976-989) on the TPU model
+    names = cfg.features.feature_names()
+    if feature_set == "both":
+        names = [f"raw_{n}" for n in names] + [f"clean_{n}" for n in names]
+
+    def write_importance(fname, imp_mean, imp_std, title):
+        order = np.argsort(-imp_mean)[:20]
+        evals._write_csv(
+            os.path.join(out_dir, fname),
+            ["feature", "importance", "std"],
+            [[names[i], float(imp_mean[i]), float(imp_std[i])] for i in order],
+        )
+        report.write_html(
+            os.path.join(out_dir, fname.replace(".csv", ".html")),
+            title,
+            [report.bar_svg([names[i] for i in order],
+                            [float(imp_mean[i]) for i in order], title, unit="")],
+        )
+
+    from stutter_tpu import report
+
+    # Permutation importance on the refit RF — the reference's artifact
+    # (ref: main.py:976-989: n_repeats=10, random_state=42, n_jobs=-1)
+    if rf_full is not None:
+        try:
+            from sklearn.inspection import permutation_importance
+
+            r = permutation_importance(
+                rf_full, Xs, y, n_repeats=10, random_state=cfg.train.seed, n_jobs=-1
+            )
+            write_importance(
+                "permutation_importance_rf.csv",
+                r.importances_mean, r.importances_std,
+                "Permutation importance (RandomForest)",
+            )
+        except ImportError:
+            pass
+
+    # ... and on the production TPU model under its own name
     from stutter_tpu.importance import permutation_importance_tpu
 
     imp_mean, imp_std = permutation_importance_tpu(fitted, Xs, y, n_repeats=10, seed=cfg.train.seed)
-    names = cfg.features.feature_names()
-    order = np.argsort(-imp_mean)[:20]
-    evals._write_csv(
-        os.path.join(out_dir, "permutation_importance_rf.csv"),
-        ["feature", "importance", "std"],
-        [[names[i], float(imp_mean[i]), float(imp_std[i])] for i in order],
+    write_importance(
+        "permutation_importance_mlp_tpu.csv", imp_mean, imp_std,
+        "Permutation importance (MLP-TPU)",
     )
 
     # Single-split confusion matrices (ref: main.py:992-1006)

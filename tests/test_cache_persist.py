@@ -76,3 +76,42 @@ def test_stem_collision_detection():
 
     col = find_stem_collisions("/root/reference/segrigated_samples")
     assert len(col) == 16  # documented hazard (SURVEY.md C10)
+
+
+def test_sklearn_pickle_trio_consumable(tmp_path, rng):
+    """Reference code must be able to joblib.load our output dir unchanged
+    (VERDICT r1 Missing #1; ref consumers main1.py:983-987)."""
+    joblib = pytest.importorskip("joblib")
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.preprocessing import StandardScaler as SkScaler
+
+    from stutter_tpu import persist
+    from stutter_tpu.models.scaler import LabelEncoder, StandardScaler
+
+    X = rng.randn(40, 9).astype(np.float32)
+    X[:, 3] = 1.25  # zero-variance column exercises the var_/scale_ split
+    ours = StandardScaler.fit(X)
+    le = LabelEncoder.fit(["b", "a", "c", "a"])
+    persist.save_sklearn_artifacts(str(tmp_path), scaler=ours, le=le)
+
+    sk = joblib.load(tmp_path / "scaler_after.pkl")
+    assert isinstance(sk, SkScaler)
+    ref_fit = SkScaler().fit(X)
+    np.testing.assert_allclose(sk.mean_, ref_fit.mean_, rtol=1e-6)
+    np.testing.assert_allclose(sk.scale_, ref_fit.scale_, rtol=1e-6)
+    np.testing.assert_allclose(sk.var_, ref_fit.var_, rtol=1e-6, atol=1e-12)
+    assert sk.n_features_in_ == 9 and sk.n_samples_seen_ == 40
+    np.testing.assert_allclose(sk.transform(X), ref_fit.transform(X), rtol=1e-5)
+
+    ske = joblib.load(tmp_path / "label_encoder.pkl")
+    assert list(ske.classes_) == ["a", "b", "c"]
+    assert list(ske.inverse_transform([0, 2])) == ["a", "c"]
+
+
+def test_clear_stale_artifacts(tmp_path):
+    from stutter_tpu import persist
+
+    for name in ("model_rf.pkl", "scaler_after.pkl", "label_encoder.pkl", "keep.csv"):
+        (tmp_path / name).write_bytes(b"x")
+    persist.clear_stale_artifacts(str(tmp_path))
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["keep.csv"]

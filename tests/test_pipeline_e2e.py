@@ -85,7 +85,9 @@ def test_run_cv_and_predict(workspace, cfg):
     assert res["final_rows"][0]["Accuracy (%)"] > 80  # trivially separable
     out = os.path.join(workspace, "output_results")
     assert os.path.exists(os.path.join(out, "FINAL_PERFORMANCE_TABLE.csv"))
-    assert os.path.exists(os.path.join(out, "permutation_importance_rf.csv"))
+    # no-host run: the TPU-model importance is written under its own name
+    # (permutation_importance_rf.csv needs the refit RF, tested in test_cli)
+    assert os.path.exists(os.path.join(out, "permutation_importance_mlp_tpu.csv"))
 
     pred = Predictor.load(out, cfg)
     wav = os.path.join(workspace, "segrigated_samples", "tonal", "clip_tonal_3.wav")
