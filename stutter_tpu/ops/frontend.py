@@ -100,6 +100,7 @@ def run_bucketed(
 ) -> np.ndarray:
     """Generic bucketed host driver: group clips by sample bucket, pad, run the
     jitted `batch_fn(audio [B,N], lengths [B]) -> [B, out_dim]`, restore order."""
+    n_dev = jax.device_count()
     out = np.zeros((len(clips), out_dim), np.float32)
     by_bucket: dict[int, list[int]] = {}
     for i, y in enumerate(clips):
@@ -107,14 +108,26 @@ def run_bucketed(
     for bucket, idxs in by_bucket.items():
         for s in range(0, len(idxs), batch_size):
             chunk = idxs[s : s + batch_size]
-            batch = np.zeros((len(chunk), bucket), np.float32)
-            lens = np.zeros(len(chunk), np.int32)
+            # pad the batch to a device-count multiple so it shards evenly
+            # (dummy rows have length 0 -> all-zero feature vectors, dropped)
+            B = -(-len(chunk) // n_dev) * n_dev
+            batch = np.zeros((B, bucket), np.float32)
+            lens = np.zeros(B, np.int32)
             for j, i in enumerate(chunk):
                 y = clips[i][:bucket]
                 batch[j, : len(y)] = y
                 lens[j] = len(y)
-            feats = batch_fn(jnp.asarray(batch), jnp.asarray(lens))
-            out[chunk] = np.asarray(feats)
+            a, l = jnp.asarray(batch), jnp.asarray(lens)
+            if n_dev > 1:
+                # data-parallel extraction: clips shard over the device mesh,
+                # no collectives needed (per-clip independence, SURVEY.md §2.3)
+                from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+                mesh = Mesh(np.array(jax.devices()), ("data",))
+                a = jax.device_put(a, NamedSharding(mesh, P("data", None)))
+                l = jax.device_put(l, NamedSharding(mesh, P("data")))
+            feats = batch_fn(a, l)
+            out[chunk] = np.asarray(feats)[: len(chunk)]
     return out
 
 

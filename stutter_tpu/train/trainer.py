@@ -98,6 +98,36 @@ def predict_proba_grid(params_grid: dict, X: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda p, x: jax.nn.softmax(apply_mlp(p, x), -1))(params_grid, X)
 
 
+def shard_grid(*arrays):
+    """Place [G, ...] arrays sharded over a 1-D device mesh on the leading
+    (grid) axis when more than one device is visible.
+
+    This is how the production drivers (run_cv/fit_mlp) scale: the folds x
+    seeds grid is embarrassingly parallel, so sharding its leading axis data-
+    parallelizes training with zero collectives — each chip trains its own
+    grid entries (the reference's joblib n_jobs=-1 analogue, main.py:900, but
+    across TPU chips over ICI instead of host processes).  Uses the largest
+    divisor of G <= device_count so no padding is ever needed; per-entry
+    computation is unchanged, so sharded == unsharded results.
+    """
+    if jax.device_count() <= 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    G = arrays[0].shape[0]
+    n = jax.device_count()
+    while G % n:
+        n -= 1
+    if n <= 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    mesh = Mesh(np.array(jax.devices()[:n]), ("grid",))
+    out = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("grid", *([None] * (a.ndim - 1)))))
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
 @dataclasses.dataclass
 class FittedMLP:
     """A seed-ensembled MLP: predictions soft-vote over n_seeds members."""
@@ -125,6 +155,7 @@ def fit_mlp(
     yg = jnp.broadcast_to(jnp.asarray(y, jnp.int32), (G, N))
     wg = jnp.ones((G, N), jnp.float32)
     seeds = jnp.arange(cfg.seed, cfg.seed + G, dtype=jnp.int32)
+    Xg, yg, wg, seeds = shard_grid(Xg, yg, wg, seeds)
     params = train_mlp_grid(Xg, yg, wg, seeds, cfg, n_train=N)
     return FittedMLP(params=params, n_seeds=G, cfg=cfg)
 
@@ -157,13 +188,13 @@ def cross_validate_mlp(
             wg[g, : len(tr)] = 1.0
             seeds[g] = cfg.seed + s
 
-    params = train_mlp_grid(
-        jnp.asarray(Xg), jnp.asarray(yg), jnp.asarray(wg), jnp.asarray(seeds),
-        cfg, n_train=n_tr_max,
+    Xg_d, yg_d, wg_d, seeds_d = shard_grid(
+        jnp.asarray(Xg), jnp.asarray(yg), jnp.asarray(wg), jnp.asarray(seeds)
     )
+    params = train_mlp_grid(Xg_d, yg_d, wg_d, seeds_d, cfg, n_train=n_tr_max)
 
     # Evaluate every grid entry on the full X, then gather per-fold test rows.
-    Xfull = jnp.broadcast_to(jnp.asarray(X, jnp.float32), (G, N, D))
+    Xfull = shard_grid(jnp.broadcast_to(jnp.asarray(X, jnp.float32), (G, N, D)))
     probs = np.asarray(predict_proba_grid(params, Xfull))  # [G, N, C]
     probs = probs.reshape(K, cfg.n_seeds, N, -1).mean(axis=1)  # seed soft-vote
 

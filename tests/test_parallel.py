@@ -88,3 +88,34 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 3)
     g.dryrun_multichip(8)
+
+
+@needs_8
+def test_production_trainer_shards_grid_and_matches_unsharded(rng):
+    """run_cv's trainer path data-parallelizes the folds x seeds grid over the
+    mesh (VERDICT r1 Next #1) and reproduces single-device predictions."""
+    import stutter_tpu.train.trainer as tr
+    from stutter_tpu.train.splits import stratified_kfold
+
+    n, d = 60, 12
+    X = rng.randn(n, d).astype(np.float32)
+    y = (X[:, 0] > 0).astype(np.int32) + (X[:, 1] > 0).astype(np.int32)
+    folds = stratified_kfold(y, 3, seed=42)
+    cfg = tr.MLPTrainConfig(hidden=(16,), n_classes=3, epochs=10, n_seeds=2)
+
+    pred_s, proba_s = tr.cross_validate_mlp(X, y, folds, cfg)
+
+    fitted = tr.fit_mlp(X, y, cfg)
+    shardings = {leaf.sharding for leaf in jax.tree.leaves(fitted.params)}
+    assert all(len(s.device_set) > 1 for s in shardings), (
+        "grid params should be sharded across devices"
+    )
+
+    orig = tr.shard_grid
+    tr.shard_grid = lambda *a: a if len(a) > 1 else a[0]  # force single-device
+    try:
+        pred_u, proba_u = tr.cross_validate_mlp(X, y, folds, cfg)
+    finally:
+        tr.shard_grid = orig
+    np.testing.assert_allclose(proba_s, proba_u, atol=1e-5)
+    np.testing.assert_array_equal(pred_s, pred_u)
