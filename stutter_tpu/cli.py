@@ -79,8 +79,9 @@ def main(argv: list[str] | None = None) -> int:
         rows = preprocess(args.root, cfg)
         print(f"processed {len(rows)} files -> per_file_analysis.csv")
     elif args.cmd == "extract":
-        from stutter_tpu.pipeline import extract_corpus
+        from stutter_tpu.pipeline import extract_corpus, setup_logging
 
+        setup_logging(os.path.join(args.root, cfg.data.output_dir))
         suffixes = ["raw", "clean"] if args.suffix == "both" else [args.suffix]
         for sfx in suffixes:
             X, labels, files, ok = extract_corpus(args.root, cfg, sfx)

@@ -123,18 +123,22 @@ class BatchPrefetcher:
         batch_size: int = 256,
         sr: int = 16000,
         depth: int = 2,
+        decoder=None,
     ):
         self.paths = paths
         self.n_samples_max = n_samples_max
         self.batch_size = batch_size
         self.sr = sr
+        self.decoder = decoder
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._producer, daemon=True)
 
     def _producer(self):
         for s in range(0, len(self.paths), self.batch_size):
             chunk = self.paths[s : s + self.batch_size]
-            audio, lengths = load_wav_batch(chunk, self.n_samples_max, self.sr)
+            audio, lengths = load_wav_batch(
+                chunk, self.n_samples_max, self.sr, decoder=self.decoder
+            )
             self._q.put((audio, lengths, chunk))
         self._q.put(None)
 

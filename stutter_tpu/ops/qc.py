@@ -54,7 +54,7 @@ def snr_db_batch(audio: jnp.ndarray, lengths: jnp.ndarray, sr: int = 16000) -> j
     energy = jnp.sum(frames * frames, axis=-1)  # [B, T]
     valid = jnp.arange(n_frames)[None, :] < (
         1 + (jnp.maximum(lengths, frame_length) - frame_length) // hop
-    )
+    )[:, None]
     p25 = _masked_percentile_linear(energy, valid, 25.0)
     noise_mask = valid & (energy < p25[:, None])
     n_noise = jnp.sum(noise_mask, axis=-1)

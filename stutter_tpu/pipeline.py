@@ -48,24 +48,32 @@ def setup_logging(output_dir: str) -> None:
     )
 
 
-def _load_clip(path: str, sr: int) -> np.ndarray | None:
-    """Degrade-don't-crash loader (ref: pipeline1.py:100-106). WAV only: this
-    environment has no mp3 decoder; non-WAV inputs log and skip."""
+def _load_clip(path: str, sr: int, decoder=None) -> np.ndarray | None:
+    """Degrade-don't-crash loader (ref: pipeline1.py:100-106) with the
+    pluggable decode hook for non-WAV formats (stutter_tpu.io.decode)."""
+    from stutter_tpu.io.decode import decode_audio
+
     try:
-        y, _ = load_mono(path, sr=sr)
-        return y
+        return decode_audio(path, sr, decoder=decoder)
     except Exception as e:  # noqa: BLE001
         log.error("load_audio fail %s: %s", path, e)
         return None
 
 
-def preprocess(root: str = ".", cfg: PipelineConfig = PipelineConfig()) -> list[dict]:
+def preprocess(
+    root: str = ".", cfg: PipelineConfig = PipelineConfig(), decoder=None
+) -> list[dict]:
     """Clean every corpus clip (cached in clear_audio/) and compute QC metrics
-    before/after -> per_file_analysis.csv rows.  Returns the row dicts."""
+    before/after -> per_file_analysis.csv rows.  Returns the row dicts.
+
+    QC metrics run batched (one jitted call per bucket chunk, not per clip);
+    denoise failure falls back to the raw clip per the reference's degrade
+    path (ref: main.py:662-663)."""
     import jax.numpy as jnp
 
-    from stutter_tpu.ops.frontend import pad_to_bucket
+    from stutter_tpu.ops.frontend import run_bucketed
     from stutter_tpu.ops.qc import qc_metrics_batch
+    from stutter_tpu.utils.profiling import StageTimer
 
     data = cfg.data
     sr = cfg.features.frontend.sample_rate
@@ -75,26 +83,29 @@ def preprocess(root: str = ".", cfg: PipelineConfig = PipelineConfig()) -> list[
     os.makedirs(clear_dir, exist_ok=True)
     os.makedirs(out_dir, exist_ok=True)
 
+    timer = StageTimer()
     files = list_audio_files(audio_root, data.audio_exts)
     rows, skipped = [], 0
     pending: list[tuple[str, str, np.ndarray]] = []
-    for f in files:
-        y = _load_clip(f, sr)
-        if y is None:
-            skipped += 1
-            continue
-        pending.append((f, label_of(f), y))
+    with timer.stage("decode_raw"):
+        for f in files:
+            y = _load_clip(f, sr, decoder)
+            if y is None:
+                skipped += 1
+                continue
+            pending.append((f, label_of(f), y))
 
     def qc_of(clips: list[np.ndarray]) -> dict[str, np.ndarray]:
-        out = {"snr_db": [], "spectral_flatness": [], "hf_energy_ratio": []}
-        for y in clips:
-            bucket = pad_to_bucket(len(y))
-            buf = np.zeros((1, bucket), np.float32)
-            buf[0, : len(y)] = y[:bucket]
-            m = qc_metrics_batch(jnp.asarray(buf), jnp.asarray([min(len(y), bucket)], np.int32), sr)
-            for k in out:
-                out[k].append(float(np.asarray(m[k])[0]))
-        return {k: np.asarray(v) for k, v in out.items()}
+        """Batched QC: one jitted dispatch per bucket chunk (ref computes these
+        per file on host, pipeline1.py:379-396)."""
+        keys = ("snr_db", "spectral_flatness", "hf_energy_ratio")
+
+        def qc_stack(a, l):
+            m = qc_metrics_batch(a, l, sr)
+            return jnp.stack([m[k] for k in keys], axis=-1)
+
+        vals = run_bucketed(clips, qc_stack, len(keys))
+        return {k: vals[:, j] for j, k in enumerate(keys)}
 
     raw_clips = [y for _, _, y in pending]
     # clean (idempotent via clear_audio cache, ref pipeline1.py:131-135)
@@ -109,15 +120,26 @@ def preprocess(root: str = ".", cfg: PipelineConfig = PipelineConfig()) -> list[
             to_denoise_idx.append(i)
             to_denoise.append(y)
     if to_denoise:
-        denoised = denoise_clips(to_denoise, cfg.denoise)
-        for i, d in zip(to_denoise_idx, denoised):
-            f = pending[i][0]
+        with timer.stage("denoise"):
+            try:
+                denoised = denoise_clips(to_denoise, cfg.denoise)
+            except Exception as e:  # noqa: BLE001
+                # degrade to the raw audio (ref: main.py:662-663)
+                log.error("denoise failed (%s); falling back to raw audio", e)
+                denoised = None
+        for j, i in enumerate(to_denoise_idx):
+            f, _, y = pending[i]
+            if denoised is None:
+                cleaned_clips[i] = y
+                continue
             out_path = os.path.join(clear_dir, Path(f).stem + ".wav")
-            write_wav(out_path, d, sr)
+            write_wav(out_path, denoised[j], sr)
             cleaned_clips[i], _ = load_mono(out_path, sr=sr)  # round-trip 16-bit
 
-    qc_before = qc_of(raw_clips)
-    qc_after = qc_of([c if c is not None else r for c, r in zip(cleaned_clips, raw_clips)])
+    with timer.stage("qc_before"):
+        qc_before = qc_of(raw_clips)
+    with timer.stage("qc_after"):
+        qc_after = qc_of([c if c is not None else r for c, r in zip(cleaned_clips, raw_clips)])
 
     for i, (f, label, y) in enumerate(pending):
         rows.append(
@@ -135,6 +157,7 @@ def preprocess(root: str = ".", cfg: PipelineConfig = PipelineConfig()) -> list[
             }
         )
     log.info("preprocessed %d files, skipped %d", len(rows), skipped)
+    timer.log_report()
     evals._write_csv(
         os.path.join(out_dir, "per_file_analysis.csv"),
         list(rows[0].keys()) if rows else ["file"],
@@ -190,19 +213,35 @@ def extract_corpus(
             else f
         )
     if miss_rows:
-        # native multithreaded batch decode with Python fallback per row
-        from stutter_tpu.io.native import load_wav_batch
+        # Prefetch pipeline: the native multithreaded decoder runs one batch
+        # ahead on a background thread, so host decode of batch k+1 overlaps
+        # device extraction of batch k, and host memory holds only ~2 batches
+        # instead of the whole corpus (the north-star feed pipeline; the
+        # reference decodes+extracts serially per clip, pipeline1.py:447-453).
+        from stutter_tpu.io.native import BatchPrefetcher
         from stutter_tpu.ops.frontend import DEFAULT_BUCKETS, batch_extractor_for, run_bucketed
+        from stutter_tpu.utils.profiling import StageTimer
 
-        audio, lens = load_wav_batch(miss_paths, DEFAULT_BUCKETS[-1], sr, decoder=decoder)
-        keep = [(i, audio[j, : lens[j]]) for j, i in enumerate(miss_rows) if lens[j] > 0]
-        if keep:
-            fn, _ = batch_extractor_for(cfg.features)
-            feats = run_bucketed([y for _, y in keep], fn, dim)
-            for (i, _), v in zip(keep, feats):
-                X[i] = v
-                ok[i] = True
-                cache.store(files[i], suffix, v)
+        timer = StageTimer()
+        fn, _ = batch_extractor_for(cfg.features)
+        prefetch = BatchPrefetcher(
+            miss_paths, DEFAULT_BUCKETS[-1], batch_size=256, sr=sr, decoder=decoder
+        )
+        pos = 0
+        for audio, lens, chunk in prefetch:
+            rows = miss_rows[pos : pos + len(chunk)]
+            pos += len(chunk)
+            keep = [(i, audio[j, : lens[j]]) for j, i in enumerate(rows) if lens[j] > 0]
+            if not keep:
+                continue
+            with timer.stage("extract"):
+                feats = run_bucketed([y for _, y in keep], fn, dim)
+            with timer.stage("cache_store"):
+                for (i, _), v in zip(keep, feats):
+                    X[i] = v
+                    ok[i] = True
+                    cache.store(files[i], suffix, v)
+        timer.log_report()
     n_failed = int((~ok).sum())
     if n_failed:
         log.warning(

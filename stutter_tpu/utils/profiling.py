@@ -1,8 +1,8 @@
 """Tracing / profiling utilities (SURVEY.md §5.1).
 
 The reference's only progress visibility is tqdm + Streamlit writes; here:
-  * StageTimer — nested per-stage wall-clock counters with a report table,
-    used by the pipeline drivers and bench.
+  * StageTimer — per-stage wall-clock counters with a report table, used by
+    the pipeline drivers (preprocess / extract_corpus log a stage report).
   * trace() — context manager wrapping jax.profiler.trace for TensorBoard
     profiles of the jitted hot path.
 """

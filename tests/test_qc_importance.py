@@ -86,3 +86,28 @@ def test_permutation_importance_finds_signal(rng):
     mean, std = permutation_importance_tpu(fitted, X, y, n_repeats=5, seed=0)
     assert mean.argmax() == 2
     assert mean[2] > 0.2
+
+
+def test_qc_batch_multirow_matches_per_clip(rng):
+    """snr valid-mask broadcast regression: ragged multi-row batches must equal
+    the per-clip (B=1) results (preprocess QC runs batched now)."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.frontend import run_bucketed
+    from stutter_tpu.ops.qc import qc_metrics_batch
+
+    clips = [rng.randn(n).astype(np.float32) * 0.2 for n in (9000, 15000, 30000, 7000)]
+    keys = ("snr_db", "spectral_flatness", "hf_energy_ratio")
+
+    def qc_stack(a, l):
+        m = qc_metrics_batch(a, l, 16000)
+        return jnp.stack([m[k] for k in keys], axis=-1)
+
+    batched = run_bucketed(clips, qc_stack, 3)
+    for j, y in enumerate(clips):
+        bucket = 24576 if len(y) <= 24576 else 49152
+        buf = np.zeros((1, bucket), np.float32)
+        buf[0, : len(y)] = y
+        m = qc_metrics_batch(jnp.asarray(buf), jnp.asarray([len(y)], np.int32), 16000)
+        row = [float(np.asarray(m[k])[0]) for k in keys]
+        np.testing.assert_allclose(batched[j], row, atol=1e-4)
