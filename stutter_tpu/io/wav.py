@@ -21,6 +21,9 @@ import numpy as np
 _PCM = 1
 _IEEE_FLOAT = 3
 _EXTENSIBLE = 0xFFFE
+# ksmedia.h KSDATAFORMAT_SUBTYPE_* GUID tail (bytes 2..16 are shared; the
+# leading two bytes carry the format tag)
+_KSDATAFORMAT_SUFFIX = bytes.fromhex("000000001000800000aa00389b71")
 
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
@@ -35,6 +38,7 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
 
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -42,6 +46,7 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -50,8 +55,15 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
 
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format == _EXTENSIBLE:
-        # SubFormat GUID's first two bytes carry the real format tag.
-        audio_format = _PCM if bits in (8, 16, 24, 32) else _IEEE_FLOAT
+        # The real format tag is the SubFormat GUID's first two bytes (GUID at
+        # offset 24 of the fmt chunk); the GUID's 14-byte suffix must be the
+        # canonical ksmedia base — reject unknown GUIDs rather than guessing
+        # from bit depth (an extensible float32 WAV is NOT int32 PCM).
+        if len(fmt_body) < 40:
+            raise ValueError(f"extensible WAV without SubFormat GUID: {path}")
+        (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        if fmt_body[26:40] != _KSDATAFORMAT_SUFFIX:
+            raise ValueError(f"unknown WAVE_FORMAT_EXTENSIBLE SubFormat GUID: {path}")
 
     if audio_format == _PCM:
         if bits == 16:

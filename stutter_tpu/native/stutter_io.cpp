@@ -77,7 +77,17 @@ long long decode_wav(const char* path, float* out, long long n_max, int target_s
   memcpy(&channels, fmt.data + 2, 2);
   memcpy(&sample_rate, fmt.data + 4, 4);
   memcpy(&bits, fmt.data + 14, 2);
-  if (audio_format == 0xFFFE) audio_format = (bits == 32 && fmt.size >= 26) ? 1 : 1;
+  if (audio_format == 0xFFFE) {
+    // WAVE_FORMAT_EXTENSIBLE: real tag = first two bytes of the SubFormat
+    // GUID at offset 24; the GUID suffix must be the canonical ksmedia base.
+    // Reject unknown GUIDs instead of guessing from bit depth.
+    static const uint8_t kKsSuffix[14] = {0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+                                          0x80, 0x00, 0x00, 0xAA, 0x00, 0x38,
+                                          0x9B, 0x71};
+    if (fmt.size < 40 || memcmp(fmt.data + 26, kKsSuffix, 14) != 0) return -1;
+    memcpy(&audio_format, fmt.data + 24, 2);
+  }
+  if (audio_format != 1 && audio_format != 3) return -1;
   if (channels == 0 || sample_rate != static_cast<uint32_t>(target_sr)) return -1;
 
   const size_t bytes_per = bits / 8;
