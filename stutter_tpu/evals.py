@@ -59,9 +59,12 @@ def precision_recall_fscore(
     return prec, rec, f1, support
 
 
-def roc_curve(y_true_bin: np.ndarray, score: np.ndarray):
-    """(fpr, tpr, thresholds) for a binary problem, sklearn semantics
-    (descending unique thresholds, prepended +inf point)."""
+def roc_curve(y_true_bin: np.ndarray, score: np.ndarray, drop_intermediate: bool = True):
+    """(fpr, tpr, thresholds) for a binary problem, sklearn semantics:
+    descending unique thresholds, prepended +inf point, and (by default)
+    sklearn's `drop_intermediate` removal of collinear suboptimal points —
+    so roc_*.csv point sets are row-compatible with reference-generated
+    output (ref plot_roc, pipeline1.py:303-324)."""
     y = np.asarray(y_true_bin).astype(bool)
     s = np.asarray(score, np.float64)
     order = np.argsort(-s, kind="mergesort")
@@ -70,16 +73,24 @@ def roc_curve(y_true_bin: np.ndarray, score: np.ndarray):
     threshold_idxs = np.r_[distinct, len(s) - 1]
     tps = np.cumsum(y)[threshold_idxs].astype(np.float64)
     fps = (1 + threshold_idxs) - tps
+    thr = s[threshold_idxs]
+    if drop_intermediate and len(fps) > 2:
+        optimal = np.where(
+            np.r_[True, np.logical_or(np.diff(fps, 2), np.diff(tps, 2)), True]
+        )[0]
+        fps, tps, thr = fps[optimal], tps[optimal], thr[optimal]
     tps = np.r_[0.0, tps]
     fps = np.r_[0.0, fps]
-    thr = np.r_[np.inf, s[threshold_idxs]]
+    thr = np.r_[np.inf, thr]
     n_pos = max(y.sum(), 1)
     n_neg = max((~y).sum(), 1)
     return fps / n_neg, tps / n_pos, thr
 
 
 def auc_score(y_true_bin: np.ndarray, score: np.ndarray) -> float:
-    fpr, tpr, _ = roc_curve(y_true_bin, score)
+    # dropped points are exactly collinear, so the trapezoid is unchanged;
+    # compute on the full curve anyway for bit-stability
+    fpr, tpr, _ = roc_curve(y_true_bin, score, drop_intermediate=False)
     return float(np.trapezoid(tpr, fpr))
 
 

@@ -40,7 +40,7 @@ def test_roc_auc(preds):
         theirs = skm.roc_auc_score(y == c, proba[:, c])
         assert np.isclose(ours, theirs, atol=1e-9)
         fpr, tpr, thr = evals.roc_curve(y == c, proba[:, c])
-        fpr2, tpr2, thr2 = skm.roc_curve(y == c, proba[:, c], drop_intermediate=False)
+        fpr2, tpr2, thr2 = skm.roc_curve(y == c, proba[:, c])
         np.testing.assert_allclose(fpr, fpr2)
         np.testing.assert_allclose(tpr, tpr2)
 
@@ -61,3 +61,21 @@ def test_csv_emission(tmp_path):
     evals.write_confusion_csv(str(tmp_path / "cm.csv"), cm, ["x,y", "b"])
     text = (tmp_path / "cm.csv").read_text()
     assert '"x,y"' in text and text.count("\n") == 3
+
+
+def test_roc_curve_matches_sklearn_rows(rng):
+    """Row-for-row parity with sklearn.roc_curve incl. drop_intermediate
+    (VERDICT r1 Weak #8): roc_*.csv must match reference-generated files."""
+    sk = pytest.importorskip("sklearn.metrics")
+    for trial in range(5):
+        n = 200
+        y = rng.randint(0, 2, n).astype(bool)
+        # quantized scores force ties and collinear runs
+        s = np.round(rng.rand(n), 2)
+        for drop in (True, False):
+            fpr, tpr, thr = evals.roc_curve(y, s, drop_intermediate=drop)
+            fpr_sk, tpr_sk, thr_sk = sk.roc_curve(y, s, drop_intermediate=drop)
+            np.testing.assert_allclose(fpr, fpr_sk, atol=1e-12)
+            np.testing.assert_allclose(tpr, tpr_sk, atol=1e-12)
+            np.testing.assert_allclose(thr, thr_sk, atol=1e-12)
+        assert abs(evals.auc_score(y, s) - sk.roc_auc_score(y, s)) < 1e-12
