@@ -41,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-host", action="store_true", help="skip sklearn baselines")
     p.add_argument("--features", default="clean", choices=["clean", "raw", "both"])
     p.add_argument("--seq", action="store_true", help="also CV the CNN/CNN-BiLSTM heads")
+    p.add_argument("--labels", default="folder", choices=["folder", "5class"],
+                   help="label taxonomy: corpus folders or the 5-class dysfluency set")
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
     p = sub.add_parser("train-seq", help="train a CNN / CNN-BiLSTM sequence head")
@@ -48,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--arch", default="cnn_bilstm", choices=["cnn", "cnn_bilstm"])
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--ckpt", action="store_true", help="Orbax checkpoint/resume")
+    p.add_argument("--labels", default="folder", choices=["folder", "5class"],
+                   help="label taxonomy: corpus folders or the 5-class dysfluency set")
     p = sub.add_parser("predict", help="classify one audio file")
     add_root(p)
     p.add_argument("file")
@@ -92,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
 
         setup_logging(os.path.join(args.root, cfg.data.output_dir))
         res = run_cv(args.root, cfg, include_host=not args.no_host,
-                     feature_set=args.features, include_seq=args.seq)
+                     feature_set=args.features, include_seq=args.seq,
+                     labels_taxonomy=args.labels)
         for row in res["final_rows"]:
             print(
                 f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '
@@ -116,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
         res = run_seq(
             args.root, args.arch, cfg,
             SeqTrainConfig(epochs=args.epochs, batch_size=64), ckpt=args.ckpt,
+            labels_taxonomy=args.labels,
         )
         print(
             f'{res["arch"]}: acc={res["accuracy"]:.1f}% loss={res["test_loss"]:.3f} '

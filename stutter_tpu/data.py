@@ -36,6 +36,31 @@ def map_labels_to_5class(labels: list[str]) -> list[str]:
     return [CORPUS_LABEL_TO_5CLASS.get(l, l) for l in labels]
 
 
+def encode_labels(labels: list[str], taxonomy: str = "folder"):
+    """(mapped_labels, LabelEncoder) for a label taxonomy.
+
+    taxonomy='folder': classes are the corpus folder names (the reference's
+    protocol, pipeline1.py:372).  taxonomy='5class': folder names map through
+    CORPUS_LABEL_TO_5CLASS and the encoder covers the FULL 5-class dysfluency
+    taxonomy (BASELINE config #3), so trained heads have 5 outputs even when
+    the corpus only exercises a subset; labels that map outside it are an
+    error (mislabeled corpus should fail loudly, not alias)."""
+    from stutter_tpu.models.scaler import LabelEncoder
+
+    if taxonomy == "folder":
+        return labels, LabelEncoder.fit(labels)
+    if taxonomy == "5class":
+        mapped = map_labels_to_5class(labels)
+        unknown = sorted(set(mapped) - set(DYSFLUENCY_CLASSES_5))
+        if unknown:
+            raise ValueError(
+                f"labels not in the 5-class dysfluency taxonomy: {unknown}; "
+                f"extend CORPUS_LABEL_TO_5CLASS or use taxonomy='folder'"
+            )
+        return mapped, LabelEncoder(classes_=sorted(DYSFLUENCY_CLASSES_5))
+    raise ValueError(f"unknown label taxonomy {taxonomy!r}")
+
+
 def list_audio_files(root: str, exts=(".wav", ".mp3", ".flac", ".m4a", ".ogg")) -> list[str]:
     """Recursive, extension-filtered, sorted (ref: pipeline1.py:91-97)."""
     files = []

@@ -410,11 +410,15 @@ def run_cv(
     include_host: bool = True,
     feature_set: str = "clean",
     include_seq: bool = False,
+    labels_taxonomy: str = "folder",
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
     feature_set: 'clean' (reference protocol), 'raw', or 'both' (raw+clean
-    concatenation — the corpus computes both anyway; +0.3pt CV accuracy)."""
+    concatenation — the corpus computes both anyway; +0.3pt CV accuracy).
+    labels_taxonomy: 'folder' (reference protocol) or '5class' (corpus folders
+    map into the 5-class dysfluency taxonomy and heads get 5 outputs,
+    BASELINE config #3)."""
     from stutter_tpu import persist
 
     out_dir = os.path.join(root, cfg.data.output_dir)
@@ -435,7 +439,9 @@ def run_cv(
         labels = [l for l, k in zip(labels, ok) if k]
     if not labels:
         raise RuntimeError("no decodable corpus rows; run preprocess first")
-    le = LabelEncoder.fit(labels)
+    from stutter_tpu.data import encode_labels
+
+    labels, le = encode_labels(labels, labels_taxonomy)
     y = le.transform(labels)
     class_names = le.classes_
 
@@ -501,6 +507,10 @@ def run_cv(
         from stutter_tpu.train.seq_trainer import SeqTrainConfig
 
         clips, seq_labels = load_corpus_clips(root, cfg)
+        if labels_taxonomy == "5class":
+            from stutter_tpu.data import map_labels_to_5class
+
+            seq_labels = map_labels_to_5class(seq_labels)
         y_seq = le.transform(seq_labels)
         seq_folds = stratified_kfold(y_seq, cfg.train.n_folds, cfg.train.seed)
         for arch in ("cnn", "cnn_bilstm"):

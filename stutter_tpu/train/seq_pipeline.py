@@ -98,14 +98,20 @@ def run_seq(
     cfg: PipelineConfig = PipelineConfig(),
     train_cfg: SeqTrainConfig = SeqTrainConfig(epochs=80, batch_size=64),
     ckpt: bool = False,
+    labels_taxonomy: str = "folder",
 ) -> dict:
-    """Train a sequence head on the workspace corpus; returns metrics + params."""
+    """Train a sequence head on the workspace corpus; returns metrics + params.
+
+    labels_taxonomy='5class' maps corpus folders into the 5-class dysfluency
+    taxonomy and trains a 5-output head (BASELINE config #3)."""
+    from stutter_tpu.data import encode_labels
+
     spec = ARCHS[arch]
     out_dir = os.path.join(root, cfg.data.output_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     clips, labels = load_corpus_clips(root, cfg)
-    le = LabelEncoder.fit(labels)
+    labels, le = encode_labels(labels, labels_taxonomy)
     y = le.transform(labels)
     tr, te = stratified_train_test_split(y, cfg.train.test_size, cfg.train.seed)
 
