@@ -8,6 +8,7 @@ prop_decrease semantics, and batch-equals-single-clip invariance.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from stutter_tpu.config import DenoiseConfig
 from stutter_tpu.denoise import _iir_smooth_bidirectional, _istft_ola, denoise_batch, denoise_clips
@@ -117,3 +118,27 @@ def test_jax_matches_numpy_oracle(rng):
         # this gate (including noisereduce itself) is limited to ~2%.
         assert np.abs(ours - ref).max() < 0.03
         assert np.corrcoef(ours, ref)[0, 1] > 0.9999
+
+
+def test_noisereduce_library_parity(rng):
+    """Direct parity vs the noisereduce library (skipped where unavailable —
+    this environment has no noisereduce; runs on any machine that does,
+    proving the gate matches the reference's actual dependency, not just our
+    oracle; VERDICT r1 Next #6).  Both prop_decrease variants are checked
+    (ref: pipeline1.py:140 -> 1.0, main.py:657 -> 0.8)."""
+    nr = pytest.importorskip("noisereduce")
+
+    sr = 16000
+    t = np.arange(32000) / sr
+    clean = (0.5 * np.sin(2 * np.pi * 440 * t) * (t % 0.5 < 0.25)).astype(np.float32)
+    noisy = clean + (rng.randn(len(t)) * 0.05).astype(np.float32)
+
+    for prop in (1.0, 0.8):
+        theirs = np.asarray(
+            nr.reduce_noise(y=noisy, sr=sr, prop_decrease=prop), np.float32
+        )
+        ours = denoise_clips([noisy], DenoiseConfig(prop_decrease=prop))[0]
+        n = min(len(ours), len(theirs))
+        # sigmoid-mask fp sensitivity bounds agreement at a few percent
+        rel = np.linalg.norm(ours[:n] - theirs[:n]) / max(np.linalg.norm(theirs[:n]), 1e-9)
+        assert rel < 0.05, f"prop_decrease={prop}: rel L2 {rel:.4f}"
