@@ -132,4 +132,12 @@ def load_cached_corpus(
                 missing += 1
         out[f"X_{suffix}"] = X
         out[f"missing_{suffix}"] = missing
+        if missing:
+            import logging
+
+            logging.getLogger("stutter_tpu.data").warning(
+                "load_cached_corpus: %d/%d %r cache entries missing — those "
+                "rows are ZEROS; run `extract` (or drop them) before training",
+                missing, len(files), suffix,
+            )
     return out

