@@ -23,10 +23,35 @@ import numpy as np
 from stutter_tpu.ops.chroma import chroma_from_power, estimate_tuning_bin
 from stutter_tpu.ops.delta import sg_delta
 from stutter_tpu.ops.masked import frame_mask, masked_mean_std
-from stutter_tpu.ops.spectral import mel_power_to_db, mfcc_from_db, power_spectrogram
+from stutter_tpu.ops.spectral import (
+    db_from_mel,
+    mel_power_to_db,
+    mfcc_from_db,
+    power_spectrogram,
+)
 
 # Sample-count buckets (multiples of hop=512) covering 0.45-10.1 s at 16 kHz.
 DEFAULT_BUCKETS = (24576, 49152, 98304, 163840)
+
+
+def spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels):
+    """(masked power [B,T,K], mask [B,T], log-mel dB [B,T,M]) for the batch.
+
+    On TPU this runs the fused Pallas chunk-DFT spectromel kernel (one VMEM
+    pass produces both the masked power spectrogram and the mel contraction,
+    ops/pallas_spectromel.py); elsewhere the XLA reference composition."""
+    if jax.default_backend() not in ("cpu", "gpu"):
+        from stutter_tpu.ops.pallas_spectromel import spectromel_pallas
+
+        power, mel = spectromel_pallas(
+            audio, lengths, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels
+        )
+        mask = frame_mask(lengths, hop_length, power.shape[1])
+        return power, mask, db_from_mel(mel, mask)
+    power = power_spectrogram(audio, n_fft, hop_length)
+    mask = frame_mask(lengths, hop_length, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    return power, mask, mel_power_to_db(power, mask, sr, n_fft, n_mels)
 
 
 def _stat_pair(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -56,12 +81,9 @@ def extract_features_149_batch(
     Clips with fewer than 9 valid frames (< 0.26 s) return all-zero vectors,
     matching the reference's exception path (pipeline1.py:237-239).
     """
-    power = power_spectrogram(audio, n_fft, hop_length)
-    mask = frame_mask(lengths, hop_length, power.shape[1])
-    power = jnp.where(mask[:, :, None], power, 0.0)
+    power, mask, db = spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels)
     n_valid = 1 + lengths // hop_length
 
-    db = mel_power_to_db(power, mask, sr, n_fft, n_mels)
     mf = mfcc_from_db(db, n_mfcc)
     d1 = sg_delta(mf, n_valid, order=1)
     d2 = sg_delta(mf, n_valid, order=2)

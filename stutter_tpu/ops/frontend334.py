@@ -113,12 +113,11 @@ def extract_features_334_batch(
     n_chroma: int = 12,
 ) -> jnp.ndarray:
     """audio [B, N] (zero-padded, N multiple of 512), lengths [B] -> [B, 334]."""
-    power = power_spectrogram(audio, n_fft, hop_length)
-    mask = frame_mask(lengths, hop_length, power.shape[1])
-    power = jnp.where(mask[:, :, None], power, 0.0)
+    from stutter_tpu.ops.frontend import spect_mel_db
+
+    power, mask, db = spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels)
     n_valid = 1 + lengths // hop_length
 
-    db = mel_power_to_db(power, mask, sr, n_fft, n_mels)
     mf = mfcc_from_db(db, n_mfcc)
     d1 = sg_delta(mf, n_valid, order=1)
     d2 = sg_delta(mf, n_valid, order=2)

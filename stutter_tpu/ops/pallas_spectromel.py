@@ -1,0 +1,189 @@
+"""Fused Pallas kernel: chunk-DFT recombination + Hann + power + mel in VMEM.
+
+This is the power->mel VMEM fusion (the round-1 plan's stated next step, now
+built on the shared-chunk DFT formulation of ops.spectral):
+
+  1. XLA computes the chunk DFT Z = chunks @ E once — a [B*C, hop] GEMM with
+     ratio x fewer FLOPs than the framed [B*T, n_fft] GEMM (the reference's
+     librosa.stft hot loop, pipeline1.py:216, does the full O(n_fft) work per
+     frame on CPU).
+  2. This kernel consumes Z tile-by-tile in VMEM and produces BOTH outputs
+     the 149/334 pipelines need — the frame-masked power spectrogram (chroma/
+     piptrack input) and the linear mel spectrogram (MFCC input) — in one
+     pass: phase recombination across the ratio chunk slots, the periodic
+     Hann applied in the frequency domain (exact 3-tap spectrum with
+     conjugate-symmetric k=0/Nyquist edges), |.|^2, per-clip frame masking,
+     and the mel contraction on the MXU (bf16x3 split precision).
+
+  In pure XLA the same chain costs ~8 full HBM passes over [B, T, K] f32
+  buffers (measured: the chunked path's elementwise tail alone outweighs its
+  GEMM saving); here X/Y/power intermediates never leave VMEM.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stutter_tpu.ops import filterbanks as fb
+from stutter_tpu.ops.spectral import _chunk_dft_mats, _chunk_phase_tables
+
+
+def _split_bf16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    hi = x.astype(np.float32).astype(jnp.bfloat16)
+    lo = (x.astype(np.float32) - hi.astype(np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+def _spectromel_kernel(
+    ratio: int,
+    t_max: int,
+    g: int,
+    zre_ref,
+    zim_ref,
+    pre_ref,
+    pim_ref,
+    mel_hi_ref,
+    mel_lo_ref,
+    nvalid_ref,
+    power_ref,
+    mel_ref,
+):
+    """Z[g, C, K] (chunk DFT) -> masked power [g, T, K] + mel [g, T, M]."""
+    K = zre_ref.shape[-1]
+    dot = partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t_max, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t_max, K), 1)
+    for gi in range(g):
+        # phase recombination over the ratio chunk slots (slices are static)
+        xr = jnp.zeros((t_max, K), jnp.float32)
+        xi = jnp.zeros((t_max, K), jnp.float32)
+        for c in range(ratio):
+            zr = zre_ref[gi, c : c + t_max, :]
+            zi = zim_ref[gi, c : c + t_max, :]
+            fr = pre_ref[c, :][None, :]
+            fi = pim_ref[c, :][None, :]
+            xr = xr + fr * zr - fi * zi
+            xi = xi + fr * zi + fi * zr
+
+        # periodic Hann via its exact 3-tap frequency response
+        xr_m = jnp.concatenate([xr[:, :1], xr[:, :-1]], axis=1)
+        xi_m = jnp.concatenate([xi[:, :1], xi[:, :-1]], axis=1)
+        xr_p = jnp.concatenate([xr[:, 1:], xr[:, -1:]], axis=1)
+        xi_p = jnp.concatenate([xi[:, 1:], xi[:, -1:]], axis=1)
+        yr = 0.5 * xr - 0.25 * (xr_m + xr_p)
+        yi = 0.5 * xi - 0.25 * (xi_m + xi_p)
+        # conjugate-symmetric edges: k=0 uses X[-1]=conj(X[1]), Nyquist uses
+        # X[K]=conj(X[K-2]); both collapse to 0.5*X[k] - 0.5*Re-part terms.
+        xr1 = xr[:, 1:2]
+        yr = jnp.where(cols == 0, 0.5 * xr[:, :1] - 0.5 * xr1, yr)
+        yi = jnp.where(cols == 0, 0.5 * xi[:, :1], yi)
+        xrn = xr[:, K - 2 : K - 1]
+        yr = jnp.where(cols == K - 1, 0.5 * xr[:, K - 1 : K] - 0.5 * xrn, yr)
+        yi = jnp.where(cols == K - 1, 0.5 * xi[:, K - 1 : K], yi)
+
+        power = yr * yr + yi * yi
+        power = jnp.where(rows < nvalid_ref[pl.program_id(0) * g + gi, 0], power, 0.0)
+        power_ref[gi, :, :] = power
+
+        # mel contraction on the MXU, bf16x3 split precision (~f32 quality)
+        p_hi = power.astype(jnp.bfloat16)
+        p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mel_ref[gi, :, :] = (
+            dot(p_hi, mel_hi_ref[:, :])
+            + dot(p_hi, mel_lo_ref[:, :])
+            + dot(p_lo, mel_hi_ref[:, :])
+        )
+
+
+@lru_cache(maxsize=None)
+def _mel_mats_bf16(sr: int, n_fft: int, n_mels: int):
+    m = np.asarray(fb.mel_fb(sr, n_fft, n_mels), np.float32).T  # [K, M]
+    return _split_bf16(m)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sr", "n_fft", "hop_length", "n_mels", "g_clips", "interpret"),
+)
+def spectromel_pallas(
+    audio: jnp.ndarray,
+    lengths: jnp.ndarray,
+    sr: int = 16000,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_mels: int = 128,
+    g_clips: int = 4,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, N] zero-padded audio + lengths -> (power [B,T,K] frame-masked,
+    mel [B,T,n_mels]) matching power_spectrogram(method='chunked') + masking +
+    the mel contraction of mel_power_to_db.
+    """
+    B, N = audio.shape
+    ratio = n_fft // hop_length
+    t_max = N // hop_length + 1
+    K = n_fft // 2 + 1
+    # VMEM budget: Z block (2 x C x K f32) + power/temps (~8 x T x K f32) per
+    # clip; cap the per-program working set near 8 MB so long buckets (10 s ->
+    # T=321) still compile.  g must divide B.
+    per_clip = ((t_max + ratio) * K * 2 + t_max * K * 8) * 4
+    g_clips = max(1, min(g_clips, (8 << 20) // per_clip))
+    while B % g_clips:
+        g_clips -= 1
+
+    padded = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)))
+    chunks = padded.reshape(B, -1, hop_length)  # [B, C, hop]
+    C = chunks.shape[1]
+    cos_c, sin_c = _chunk_dft_mats(n_fft, hop_length)
+    z_re = jnp.einsum(
+        "bch,hf->bcf", chunks, jnp.asarray(cos_c), precision=jax.lax.Precision.HIGH
+    )
+    z_im = jnp.einsum(
+        "bch,hf->bcf", chunks, jnp.asarray(sin_c), precision=jax.lax.Precision.HIGH
+    )
+
+    p_re, p_im = _chunk_phase_tables(n_fft, hop_length)
+    mel_hi, mel_lo = _mel_mats_bf16(sr, n_fft, n_mels)
+    n_valid = (1 + lengths // hop_length).astype(jnp.int32)[:, None]  # [B, 1]
+
+    power, mel = pl.pallas_call(
+        partial(_spectromel_kernel, ratio, t_max, g_clips),
+        grid=(B // g_clips,),
+        in_specs=[
+            pl.BlockSpec((g_clips, C, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_clips, C, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g_clips, t_max, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_clips, t_max, n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, t_max, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, t_max, n_mels), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        z_re,
+        z_im,
+        jnp.asarray(p_re),
+        jnp.asarray(p_im),
+        jnp.asarray(mel_hi),
+        jnp.asarray(mel_lo),
+        n_valid,
+    )
+    return power, mel

