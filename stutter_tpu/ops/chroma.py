@@ -210,6 +210,64 @@ def estimate_tuning_bin(
     return jnp.where(has_any, jnp.argmax(hist, axis=-1).astype(jnp.int32), zero_bin)
 
 
+def tuning_bin_from_candidates(
+    mags: jnp.ndarray, idxm: jnp.ndarray, n_bins: int = 100
+) -> jnp.ndarray:
+    """Candidate arrays [B, T, W] -> [B] int32 tuning bin.
+
+    mags: interpolated candidate magnitudes (0 at non-candidates); idxm:
+    residual histogram bin 0..n_bins-1 at candidates, -1 elsewhere — as
+    emitted by the fused spectromel Pallas kernel (ops/pallas_spectromel.py),
+    which computes the piptrack candidates while the power spectrogram is in
+    VMEM.  This XLA tail does what cannot ride along in the kernel without
+    serializing its grid (median + histogram are per-clip loops):
+
+      * exact 4->2 group compaction (local maxima are never adjacent, so any
+        4 consecutive bins hold <= 2 candidates) halves the array the median
+        and histogram sweep;
+      * exact masked median via the fused dual-rank radix select;
+      * histogram via a FACTORIZED one-hot batched matmul: bin = 10*h + l,
+        so counts[b,h,l] = sum_n oh_h[b,n,h] * oh_l[b,n,l] — two [B,N,10]
+        bf16 one-hots and one MXU contraction (f32 accumulation keeps counts
+        exact) instead of n_bins compare-and-sum passes over [B, N].
+    """
+    B, T, W = mags.shape
+    cand = idxm >= 0
+
+    # exact 4->2 compaction (W is a multiple of 4 by construction)
+    def compact4(x, sel, fill):
+        xg = x.reshape(B, T, W // 4, 4)
+        sg = sel.reshape(B, T, W // 4, 4)
+        ci = sg.astype(jnp.int32)
+        cs = jnp.cumsum(ci, axis=-1) - ci
+        first = sg & (cs == 0)
+        second = sg & (cs == 1)
+        pick = lambda s: jnp.sum(jnp.where(s, xg, 0), axis=-1)
+        out = jnp.stack([pick(first), pick(second)], axis=-1).reshape(B, T, W // 2)
+        ok = jnp.stack([jnp.any(first, -1), jnp.any(second, -1)], axis=-1)
+        return jnp.where(ok.reshape(B, T, W // 2), out, fill)
+
+    mag_c = compact4(mags, cand, 0.0).reshape(B, -1)
+    idx_c = compact4(idxm.astype(jnp.int32), cand, -1).reshape(B, -1)
+    cand_c = idx_c >= 0
+
+    med = masked_median(mag_c, cand_c)
+    sel = cand_c & (mag_c >= med[:, None])
+
+    h = jnp.clip(idx_c // 10, 0, 9)
+    l = idx_c - h * 10
+    tens = jnp.arange(10, dtype=jnp.int32)
+    oh_h = ((h[:, :, None] == tens) & sel[:, :, None]).astype(jnp.bfloat16)
+    oh_l = (l[:, :, None] == tens).astype(jnp.bfloat16)
+    hist = jnp.einsum(
+        "bnh,bnl->bhl", oh_h, oh_l, preferred_element_type=jnp.float32
+    ).reshape(B, 100)[:, :n_bins]
+    has_any = jnp.any(sel, axis=-1)
+    return jnp.where(
+        has_any, jnp.argmax(hist, axis=-1).astype(jnp.int32), n_bins // 2
+    )
+
+
 def chroma_from_power(
     power: jnp.ndarray,
     tuning_bin: jnp.ndarray,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stutter_tpu.ops.chroma import chroma_from_power, estimate_tuning_bin
-from stutter_tpu.ops.delta import sg_delta
+from stutter_tpu.ops.delta import sg_deltas
 from stutter_tpu.ops.masked import frame_mask, masked_mean_std
 from stutter_tpu.ops.spectral import (
     db_from_mel,
@@ -34,24 +34,28 @@ from stutter_tpu.ops.spectral import (
 DEFAULT_BUCKETS = (24576, 49152, 98304, 163840)
 
 
-def spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels):
-    """(masked power [B,T,K], mask [B,T], log-mel dB [B,T,M]) for the batch.
+def spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma=12):
+    """(masked power [B,T,K], mask [B,T], log-mel dB [B,T,M], tuning bin [B]
+    or None) for the batch.
 
-    On TPU this runs the fused Pallas chunk-DFT spectromel kernel (one VMEM
-    pass produces both the masked power spectrogram and the mel contraction,
-    ops/pallas_spectromel.py); elsewhere the XLA reference composition."""
+    On TPU this runs the fused Pallas chunk-DFT spectromel kernel — one VMEM
+    pass produces the masked power spectrogram, the mel contraction, AND the
+    per-clip librosa tuning bin (ops/pallas_spectromel.py); elsewhere the XLA
+    reference composition (tuning returned as None; callers fall back to
+    ops.chroma.estimate_tuning_bin)."""
     if jax.default_backend() not in ("cpu", "gpu"):
         from stutter_tpu.ops.pallas_spectromel import spectromel_pallas
 
-        power, mel = spectromel_pallas(
-            audio, lengths, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels
+        power, mel, tb = spectromel_pallas(
+            audio, lengths, sr=sr, n_fft=n_fft, hop_length=hop_length,
+            n_mels=n_mels, n_chroma=n_chroma, with_tuning=True,
         )
         mask = frame_mask(lengths, hop_length, power.shape[1])
-        return power, mask, db_from_mel(mel, mask)
+        return power, mask, db_from_mel(mel, mask), tb
     power = power_spectrogram(audio, n_fft, hop_length)
     mask = frame_mask(lengths, hop_length, power.shape[1])
     power = jnp.where(mask[:, :, None], power, 0.0)
-    return power, mask, mel_power_to_db(power, mask, sr, n_fft, n_mels)
+    return power, mask, mel_power_to_db(power, mask, sr, n_fft, n_mels), None
 
 
 def _stat_pair(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -81,14 +85,16 @@ def extract_features_149_batch(
     Clips with fewer than 9 valid frames (< 0.26 s) return all-zero vectors,
     matching the reference's exception path (pipeline1.py:237-239).
     """
-    power, mask, db = spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels)
+    power, mask, db, tb = spect_mel_db(
+        audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma
+    )
     n_valid = 1 + lengths // hop_length
 
     mf = mfcc_from_db(db, n_mfcc)
-    d1 = sg_delta(mf, n_valid, order=1)
-    d2 = sg_delta(mf, n_valid, order=2)
+    d1, d2 = sg_deltas(mf, n_valid, orders=(1, 2))
 
-    tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
+    if tb is None:
+        tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
     ch = chroma_from_power(power, tb, sr, n_fft, n_chroma)
 
     feats = jnp.concatenate(

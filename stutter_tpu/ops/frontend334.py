@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stutter_tpu.ops.chroma import chroma_from_power, estimate_tuning_bin
-from stutter_tpu.ops.delta import sg_delta
+from stutter_tpu.ops.delta import sg_deltas
 from stutter_tpu.ops.frontend import _stat_pair
 from stutter_tpu.ops.masked import frame_mask, masked_mean
 from stutter_tpu.ops.spectral import frame, mel_power_to_db, mfcc_from_db, power_spectrogram
@@ -115,14 +115,16 @@ def extract_features_334_batch(
     """audio [B, N] (zero-padded, N multiple of 512), lengths [B] -> [B, 334]."""
     from stutter_tpu.ops.frontend import spect_mel_db
 
-    power, mask, db = spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels)
+    power, mask, db, tb = spect_mel_db(
+        audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma
+    )
     n_valid = 1 + lengths // hop_length
 
     mf = mfcc_from_db(db, n_mfcc)
-    d1 = sg_delta(mf, n_valid, order=1)
-    d2 = sg_delta(mf, n_valid, order=2)
+    d1, d2 = sg_deltas(mf, n_valid, orders=(1, 2))
 
-    tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
+    if tb is None:
+        tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
     ch = chroma_from_power(power, tb, sr, n_fft, n_chroma)
 
     mag = jnp.sqrt(power)

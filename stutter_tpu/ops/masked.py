@@ -76,7 +76,10 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
     Finds the two middle order statistics by binary search over the monotone
     uint32 image of f32, counting masked elements per step — O(32) cheap
-    vector passes instead of an O(N log^2 N) device sort.
+    vector passes instead of an O(N log^2 N) device sort.  Both middle ranks
+    are selected in ONE loop (each step counts for both prefixes), so the
+    data is swept 32x, not 64x — at [256, 24k] this halves the median's HBM
+    traffic, the dominant cost of the tuning estimate's XLA tail.
     """
     cnt = jnp.sum(mask, axis=-1)
     u = jnp.where(mask, _f32_to_ordered_u32(x), jnp.uint32(0xFFFFFFFF))
@@ -84,26 +87,28 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     r_lo = jnp.maximum(cnt - 1, 0) // 2
     r_hi = jnp.maximum(cnt, 1) // 2
 
-    def select(rank):
+    def body(i, state):
         # Classic radix select: build the answer bit by bit from the MSB.
-        def body(i, state):
-            prefix, rank_left = state
-            bit = jnp.uint32(1) << (31 - i)
-            cand = prefix | bit
+        p_lo, rl, p_hi, rh = state
+        us = u >> (31 - i)
+
+        def step(prefix, rank_left):
+            cand = prefix | (jnp.uint32(1) << (31 - i))
             # count of elements with value < cand and matching prefix above bit
-            below = jnp.sum(((u >> (31 - i)) == ((cand >> (31 - i)) - 1)[:, None])
-                            .astype(jnp.int32), axis=-1)
+            below = jnp.sum(
+                (us == ((cand >> (31 - i)) - 1)[:, None]).astype(jnp.int32), axis=-1
+            )
             go_right = rank_left >= below
-            prefix = jnp.where(go_right, cand, prefix)
-            rank_left = jnp.where(go_right, rank_left - below, rank_left)
-            return prefix, rank_left
+            return (
+                jnp.where(go_right, cand, prefix),
+                jnp.where(go_right, rank_left - below, rank_left),
+            )
 
-        prefix, _ = jax.lax.fori_loop(
-            0, 32, body, (jnp.zeros_like(cnt, jnp.uint32), rank)
-        )
-        return _ordered_u32_to_f32(prefix)
+        p_lo, rl = step(p_lo, rl)
+        p_hi, rh = step(p_hi, rh)
+        return p_lo, rl, p_hi, rh
 
-    lo = select(r_lo)
-    hi = select(r_hi)
-    med = 0.5 * (lo + hi)
+    z = jnp.zeros_like(cnt, jnp.uint32)
+    p_lo, _, p_hi, _ = jax.lax.fori_loop(0, 32, body, (z, r_lo, z, r_hi))
+    med = 0.5 * (_ordered_u32_to_f32(p_lo) + _ordered_u32_to_f32(p_hi))
     return jnp.where(cnt > 0, med, 0.0)

@@ -1,4 +1,4 @@
-"""Fused Pallas kernel: chunk-DFT recombination + Hann + power + mel in VMEM.
+"""Fused Pallas kernel: chunk-DFT recombination + Hann + power + mel (+tuning).
 
 This is the power->mel VMEM fusion (the round-1 plan's stated next step, now
 built on the shared-chunk DFT formulation of ops.spectral):
@@ -7,13 +7,21 @@ built on the shared-chunk DFT formulation of ops.spectral):
      ratio x fewer FLOPs than the framed [B*T, n_fft] GEMM (the reference's
      librosa.stft hot loop, pipeline1.py:216, does the full O(n_fft) work per
      frame on CPU).
-  2. This kernel consumes Z tile-by-tile in VMEM and produces BOTH outputs
+  2. This kernel consumes Z tile-by-tile in VMEM and produces the outputs
      the 149/334 pipelines need — the frame-masked power spectrogram (chroma/
      piptrack input) and the linear mel spectrogram (MFCC input) — in one
      pass: phase recombination across the ratio chunk slots, the periodic
      Hann applied in the frequency domain (exact 3-tap spectrum with
      conjugate-symmetric k=0/Nyquist edges), |.|^2, per-clip frame masking,
      and the mel contraction on the MXU (bf16x3 split precision).
+  3. With with_tuning=True it ALSO runs the entire librosa tuning estimation
+     per clip while the power spectrogram is still in VMEM: piptrack peak
+     candidates (parabolic interpolation + median-magnitude threshold), the
+     exact radix-select median, the 100-bin pitch-residual histogram, and
+     its argmax — emitting one int32 tuning bin per clip.  In XLA this chain
+     (ops/chroma.estimate_tuning_bin) costs ~15 HBM passes over [B, T, band]
+     buffers plus 64 passes of the radix median (~6.5 ms/batch measured at
+     the bench shape); in VMEM it is compute-bound and near-free.
 
   In pure XLA the same chain costs ~8 full HBM passes over [B, T, K] f32
   buffers (measured: the chunked path's elementwise tail alone outweighs its
@@ -33,6 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from stutter_tpu.ops import filterbanks as fb
 from stutter_tpu.ops.spectral import _chunk_dft_mats, _chunk_phase_tables
 
+_F32_TINY = float(np.finfo(np.float32).tiny)
+
 
 def _split_bf16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     hi = x.astype(np.float32).astype(jnp.bfloat16)
@@ -40,21 +50,78 @@ def _split_bf16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(hi), np.asarray(lo)
 
 
+_TUNE_THRESHOLD = 0.1  # librosa piptrack default
+_TUNE_BINS = 100  # ceil(1 / resolution), resolution 0.01
+
+
+def _candidates_of(power, rtab_ref, lo: int, hi: int, n_chroma: int, w_pad: int):
+    """Per-clip piptrack candidates on a VMEM-resident power spec.
+
+    power: [t_max, K] frame-masked power -> (mags [t_max, w_pad] with 0 at
+    non-candidates, idxm [t_max, w_pad] f32 with the residual histogram bin
+    0..99 at candidates and -1 elsewhere).  Pure vector ops — the per-clip
+    serial parts of the tuning estimate (median + histogram) stay in XLA
+    (ops/chroma.tuning_bin_from_candidates): inside the kernel they would
+    serialize across the sequential grid (measured 7.4 ms/batch of pure
+    loop-latency at B=256, g=2).
+
+    Numerics identical to ops/chroma (piptrack_candidates +
+    estimate_tuning_bin): parabolic interpolation, full-spectrum threshold,
+    f64 host residual table + log2(1+shift/bin) series.
+    """
+    band = hi - lo
+    t_max = power.shape[0]
+    Sb = power[:, lo:hi]
+    hm = power[:, lo - 1 : hi - 1]
+    hp = power[:, lo + 1 : hi + 1]
+    ref = _TUNE_THRESHOLD * jnp.max(power, axis=1, keepdims=True)
+
+    avg = 0.5 * (hp - hm)
+    den = 2.0 * Sb - hp - hm
+    shift = avg / (den + (jnp.abs(den) < _F32_TINY))
+    dskew = 0.5 * avg * shift
+
+    gc = Sb * (Sb > ref)
+    cand = (gc > hm * (hm > ref)) & (gc >= hp * (hp > ref))
+    mags = jnp.where(cand, Sb + dskew, 0.0)
+    binf = (
+        jax.lax.broadcasted_iota(jnp.int32, (t_max, band), 1).astype(jnp.float32)
+        + float(lo)
+    )  # tpu.iota only produces integers; cast after
+    candp = cand & ((binf + shift) > 0)
+
+    # pitch residual: f64 host table at the bin + log2(1+shift/bin) series
+    rb = rtab_ref[0, lo:hi][None, :]
+    uu = shift / jnp.maximum(binf, 1.0)
+    ln2 = float(np.log(2.0))
+    poly = uu * (1.0 + uu * (-1.0 / 2 + uu * (1.0 / 3 + uu * (-1.0 / 4 + uu * (
+        1.0 / 5 + uu * (-1.0 / 6 + uu * (1.0 / 7 + uu * (-1.0 / 8))))))))
+    residual = jnp.mod(rb + (n_chroma / ln2) * poly, 1.0)
+    residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+    idx = jnp.clip(jnp.floor((residual + 0.5) * _TUNE_BINS), 0, _TUNE_BINS - 1)
+    idxm = jnp.where(candp, idx, -1.0)
+    pad = ((0, 0), (0, w_pad - band))
+    return (
+        jnp.pad(jnp.where(candp, mags, 0.0), pad),
+        jnp.pad(idxm, pad, constant_values=-1.0),
+    )
+
+
 def _spectromel_kernel(
     ratio: int,
     t_max: int,
     g: int,
-    zre_ref,
-    zim_ref,
-    pre_ref,
-    pim_ref,
-    mel_hi_ref,
-    mel_lo_ref,
-    nvalid_ref,
-    power_ref,
-    mel_ref,
+    tune_args: tuple | None,
+    *refs,
 ):
-    """Z[g, C, K] (chunk DFT) -> masked power [g, T, K] + mel [g, T, M]."""
+    """Z[g, C, K] (chunk DFT) -> masked power [g, T, K] + mel [g, T, M]
+    (+ per-clip tuning bin [g, 1] when tune_args = (lo, hi, n_chroma))."""
+    if tune_args is not None:
+        (zre_ref, zim_ref, pre_ref, pim_ref, mel_hi_ref, mel_lo_ref, rtab_ref,
+         nvalid_ref, power_ref, mel_ref, mags_ref, idxm_ref) = refs
+    else:
+        (zre_ref, zim_ref, pre_ref, pim_ref, mel_hi_ref, mel_lo_ref,
+         nvalid_ref, power_ref, mel_ref) = refs
     K = zre_ref.shape[-1]
     dot = partial(
         jax.lax.dot_general,
@@ -104,6 +171,14 @@ def _spectromel_kernel(
             + dot(p_lo, mel_hi_ref[:, :])
         )
 
+        if tune_args is not None:
+            lo, hi, n_chroma = tune_args
+            m, ix = _candidates_of(
+                power, rtab_ref, lo, hi, n_chroma, mags_ref.shape[-1]
+            )
+            mags_ref[gi, :, :] = m
+            idxm_ref[gi, :, :] = ix
+
 
 @lru_cache(maxsize=None)
 def _mel_mats_bf16(sr: int, n_fft: int, n_mels: int):
@@ -111,9 +186,23 @@ def _mel_mats_bf16(sr: int, n_fft: int, n_mels: int):
     return _split_bf16(m)
 
 
+@lru_cache(maxsize=None)
+def _tuning_consts(sr: int, n_fft: int, n_chroma: int):
+    """(lo, hi) piptrack band range + [1, K] f64-accurate residual table."""
+    from stutter_tpu.ops.chroma import _band_range, _residual_table
+
+    K = n_fft // 2 + 1
+    lo, hi = _band_range(sr, n_fft, 150.0, 4000.0)
+    rtab = _residual_table(sr, n_fft, K, n_chroma).reshape(1, K)
+    return lo, hi, rtab
+
+
 @partial(
     jax.jit,
-    static_argnames=("sr", "n_fft", "hop_length", "n_mels", "g_clips", "interpret"),
+    static_argnames=(
+        "sr", "n_fft", "hop_length", "n_mels", "n_chroma", "g_clips",
+        "with_tuning", "interpret",
+    ),
 )
 def spectromel_pallas(
     audio: jnp.ndarray,
@@ -122,21 +211,32 @@ def spectromel_pallas(
     n_fft: int = 2048,
     hop_length: int = 512,
     n_mels: int = 128,
+    n_chroma: int = 12,
     g_clips: int = 4,
+    with_tuning: bool = False,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+):
     """[B, N] zero-padded audio + lengths -> (power [B,T,K] frame-masked,
     mel [B,T,n_mels]) matching power_spectrogram(method='chunked') + masking +
-    the mel contraction of mel_power_to_db.
+    the mel contraction of mel_power_to_db.  With with_tuning=True, also
+    returns tuning_bin [B] int32 == ops.chroma.estimate_tuning_bin(power).
     """
     B, N = audio.shape
     ratio = n_fft // hop_length
     t_max = N // hop_length + 1
     K = n_fft // 2 + 1
+    if with_tuning:
+        lo, hi, rtab = _tuning_consts(sr, n_fft, n_chroma)
+        tune_args = (lo, hi, n_chroma)
+        w_pad = -(-(hi - lo) // 128) * 128  # candidate width, lane-aligned
+    else:
+        tune_args = None
     # VMEM budget: Z block (2 x C x K f32) + power/temps (~8 x T x K f32) per
-    # clip; cap the per-program working set near 8 MB so long buckets (10 s ->
-    # T=321) still compile.  g must divide B.
+    # clip (+ ~8 x T x band f32 tuning temps); cap the per-program working
+    # set near 8 MB so long buckets (10 s -> T=321) still compile.
     per_clip = ((t_max + ratio) * K * 2 + t_max * K * 8) * 4
+    if with_tuning:
+        per_clip += t_max * (hi - lo) * 8 * 4
     g_clips = max(1, min(g_clips, (8 << 20) // per_clip))
     while B % g_clips:
         g_clips -= 1
@@ -156,34 +256,54 @@ def spectromel_pallas(
     mel_hi, mel_lo = _mel_mats_bf16(sr, n_fft, n_mels)
     n_valid = (1 + lengths // hop_length).astype(jnp.int32)[:, None]  # [B, 1]
 
-    power, mel = pl.pallas_call(
-        partial(_spectromel_kernel, ratio, t_max, g_clips),
+    const_specs = [
+        pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        z_re, z_im, jnp.asarray(p_re), jnp.asarray(p_im),
+        jnp.asarray(mel_hi), jnp.asarray(mel_lo),
+    ]
+    out_specs = [
+        pl.BlockSpec((g_clips, t_max, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g_clips, t_max, n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, t_max, K), jnp.float32),
+        jax.ShapeDtypeStruct((B, t_max, n_mels), jnp.float32),
+    ]
+    if with_tuning:
+        const_specs.append(
+            pl.BlockSpec((1, K), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(jnp.asarray(rtab))
+        for _ in range(2):  # candidate mags + residual-bin index
+            out_specs.append(
+                pl.BlockSpec(
+                    (g_clips, t_max, w_pad), lambda b: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shape.append(jax.ShapeDtypeStruct((B, t_max, w_pad), jnp.float32))
+
+    outs = pl.pallas_call(
+        partial(_spectromel_kernel, ratio, t_max, g_clips, tune_args),
         grid=(B // g_clips,),
         in_specs=[
             pl.BlockSpec((g_clips, C, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g_clips, C, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            *const_specs,
             pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((g_clips, t_max, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_clips, t_max, n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, t_max, K), jnp.float32),
-            jax.ShapeDtypeStruct((B, t_max, n_mels), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
-    )(
-        z_re,
-        z_im,
-        jnp.asarray(p_re),
-        jnp.asarray(p_im),
-        jnp.asarray(mel_hi),
-        jnp.asarray(mel_lo),
-        n_valid,
-    )
-    return power, mel
+    )(*operands, n_valid)
+    if with_tuning:
+        from stutter_tpu.ops.chroma import tuning_bin_from_candidates
+
+        power, mel, mags, idxm = outs
+        return power, mel, tuning_bin_from_candidates(mags, idxm)
+    return outs

@@ -27,6 +27,39 @@ class SeqTrainConfig:
     weight_decay: float = 1e-4
     label_smoothing: float = 0.05
     seed: int = 42
+    # --- train-time augmentation (all off by default; reference has none) ---
+    noise_std: float = 0.0  # additive N(0, std) on standardized features
+    freq_masks: int = 0  # SpecAugment: number of feature-band masks
+    freq_width: int = 16  # max width (bins) of each feature-band mask
+    time_masks: int = 0  # SpecAugment: number of time masks
+    time_width: int = 24  # max width (frames) of each time mask
+    mixup_alpha: float = 0.0  # Beta(alpha, alpha) convex mixing of pairs
+
+
+def _spec_augment(rng, xb, nv, cfg: "SeqTrainConfig"):
+    """SpecAugment-style masking on [B, T, D] batches, fully shape-static.
+
+    Each mask zeroes a contiguous span whose start is uniform over the clip's
+    valid extent (time) or the feature axis (freq); widths are uniform in
+    [0, max_width].  Pure vector ops — no dynamic shapes under jit.
+    """
+    B, T, D = xb.shape
+    t_idx = jnp.arange(T)[None, :]
+    d_idx = jnp.arange(D)[None, :]
+    keep = jnp.ones((B, T, D), xb.dtype)
+    for i in range(cfg.time_masks):
+        rng, r1, r2 = jax.random.split(rng, 3)
+        w = jax.random.randint(r1, (B, 1), 0, cfg.time_width + 1)
+        start = (jax.random.uniform(r2, (B, 1)) * jnp.maximum(nv[:, None] - w, 1)).astype(jnp.int32)
+        hit = (t_idx >= start) & (t_idx < start + w)
+        keep = keep * (1.0 - hit.astype(xb.dtype))[:, :, None]
+    for i in range(cfg.freq_masks):
+        rng, r1, r2 = jax.random.split(rng, 3)
+        w = jax.random.randint(r1, (B, 1), 0, cfg.freq_width + 1)
+        start = jax.random.randint(r2, (B, 1), 0, jnp.maximum(D - cfg.freq_width, 1))
+        hit = (d_idx >= start) & (d_idx < start + w)
+        keep = keep * (1.0 - hit.astype(xb.dtype))[:, None, :]
+    return xb * keep
 
 
 def prepare_sequence_dataset(
@@ -136,17 +169,31 @@ def train_sequence_model(
     nvd = jnp.asarray(n_valid)
     yd = jnp.asarray(y)
 
-    def loss_fn(params, xb, mb, yb):
+    def loss_fn(params, xb, mb, targets):
         logits = apply_fn(params, xb, mb)
-        targets = optax.smooth_labels(jax.nn.one_hot(yb, n_classes), cfg.label_smoothing)
         return jnp.mean(optax.softmax_cross_entropy(logits, targets))
 
     def train_step(carry, step_rng):
         params, opt_state = carry
-        idx = jax.random.choice(step_rng, N, (cfg.batch_size,))
+        sel_rng, aug_rng, noise_rng, mix_rng = jax.random.split(step_rng, 4)
+        idx = jax.random.choice(sel_rng, N, (cfg.batch_size,))
         xb, yb = Xd[idx], yd[idx]
-        mb = jnp.arange(T)[None, :] < nvd[idx][:, None]
-        loss, grads = jax.value_and_grad(loss_fn)(params, xb, mb, yb)
+        nvb = nvd[idx]
+        mb = jnp.arange(T)[None, :] < nvb[:, None]
+        targets = optax.smooth_labels(jax.nn.one_hot(yb, n_classes), cfg.label_smoothing)
+        if cfg.time_masks or cfg.freq_masks:
+            xb = _spec_augment(aug_rng, xb, nvb, cfg)
+        if cfg.noise_std > 0.0:
+            xb = xb + cfg.noise_std * jax.random.normal(noise_rng, xb.shape) * mb[:, :, None]
+        if cfg.mixup_alpha > 0.0:
+            lam_rng, perm_rng = jax.random.split(mix_rng)
+            lam = jax.random.beta(lam_rng, cfg.mixup_alpha, cfg.mixup_alpha, (cfg.batch_size,))
+            lam = jnp.maximum(lam, 1.0 - lam)  # keep the "own" clip dominant
+            perm = jax.random.permutation(perm_rng, cfg.batch_size)
+            xb = lam[:, None, None] * xb + (1.0 - lam)[:, None, None] * xb[perm]
+            mb = mb | (jnp.arange(T)[None, :] < nvb[perm][:, None])
+            targets = lam[:, None] * targets + (1.0 - lam)[:, None] * targets[perm]
+        loss, grads = jax.value_and_grad(loss_fn)(params, xb, mb, targets)
         updates, opt_state = opt.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss
 

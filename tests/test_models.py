@@ -97,3 +97,45 @@ def test_label_encoder_roundtrip():
     y = le.transform(["c", "a"])
     np.testing.assert_array_equal(y, [2, 0])
     assert le.inverse_transform(y) == ["c", "a"]
+
+
+def test_seq_augmentation_learns_and_masks(rng):
+    """Augmented training still fits; _spec_augment only zeroes, is shape-safe."""
+    import jax
+
+    from stutter_tpu.train.seq_trainer import (
+        SeqTrainConfig,
+        _spec_augment,
+        predict_sequence_model,
+        train_sequence_model,
+    )
+
+    n, T, D = 120, 32, 12
+    y = rng.randint(0, 2, n)
+    X = rng.randn(n, T, D).astype(np.float32) * 0.1
+    X += y[:, None, None] * 0.8
+    n_valid = np.full(n, T, np.int32)
+    cfg = SeqTrainConfig(
+        epochs=25, batch_size=32, noise_std=0.05, time_masks=1, time_width=4,
+        freq_masks=1, freq_width=2, mixup_alpha=0.2,
+    )
+    params = train_sequence_model(
+        init_cnn_bilstm, apply_cnn_bilstm, X, n_valid, y, n_classes=2, cfg=cfg,
+        init_kwargs={"in_dim": D, "conv_channels": (16,), "lstm_dim": 16, "n_classes": 2},
+    )
+    proba = predict_sequence_model(apply_cnn_bilstm, params, X, n_valid)
+    assert (proba.argmax(-1) == y).mean() > 0.85
+
+    xb = jnp.asarray(X[:8])
+    nv = jnp.asarray(n_valid[:8])
+    aug = _spec_augment(jax.random.PRNGKey(0), xb, nv, cfg)
+    assert aug.shape == xb.shape
+    # masking only zeroes values, never changes survivors
+    same = np.isclose(np.asarray(aug), np.asarray(xb))
+    zeroed = np.asarray(aug) == 0.0
+    assert np.all(same | zeroed)
+    assert zeroed.sum() > same.sum() * 0  # some masking actually happened
+    # zero masks config is the identity
+    cfg0 = SeqTrainConfig()
+    aug0 = _spec_augment(jax.random.PRNGKey(0), xb, nv, cfg0)
+    np.testing.assert_array_equal(np.asarray(aug0), np.asarray(xb))

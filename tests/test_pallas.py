@@ -39,3 +39,32 @@ def test_chunked_spectrogram_matches_fft(rng):
         p_fft = np.asarray(power_spectrogram(audio, n_fft, hop, method="fft"))
         p_ch = np.asarray(power_spectrogram(audio, n_fft, hop, method="chunked"))
         assert np.abs(p_ch - p_fft).max() / p_fft.max() < 1e-5
+
+
+def test_spectromel_kernel_tuning_matches_xla(rng):
+    """In-kernel piptrack+median+histogram tuning == estimate_tuning_bin."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.chroma import estimate_tuning_bin
+    from stutter_tpu.ops.masked import frame_mask
+    from stutter_tpu.ops.pallas_spectromel import spectromel_pallas
+
+    # tonal content so real peaks exist, plus noise-only and near-silent rows
+    t = np.arange(24576) / 16000.0
+    rows = [
+        0.5 * np.sin(2 * np.pi * 220.7 * t) + 0.05 * rng.randn(24576),
+        0.4 * np.sin(2 * np.pi * 452.2 * t) + 0.3 * np.sin(2 * np.pi * 1337.9 * t),
+        0.2 * rng.randn(24576),
+        np.zeros(24576),
+    ]
+    audio = jnp.asarray(np.stack(rows).astype(np.float32))
+    lengths = jnp.asarray(np.array([24576, 20000, 9000, 3000], np.int32))
+    for n_fft, hop in ((2048, 512), (512, 256)):
+        p, m, tb = spectromel_pallas(
+            audio, lengths, sr=16000, n_fft=n_fft, hop_length=hop, n_mels=128,
+            with_tuning=True, interpret=True,
+        )
+        tb_ref = estimate_tuning_bin(jnp.asarray(p), 16000, n_fft)
+        np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb_ref))
+    # silent clip takes librosa's no-candidate fallback (tuning 0.0 = bin 50)
+    assert np.asarray(tb)[3] == 50
