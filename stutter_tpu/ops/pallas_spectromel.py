@@ -3,17 +3,19 @@
 This is the power->mel VMEM fusion (the round-1 plan's stated next step, now
 built on the shared-chunk DFT formulation of ops.spectral):
 
-  1. XLA computes the chunk DFT Z = chunks @ E once — a [B*C, hop] GEMM with
-     ratio x fewer FLOPs than the framed [B*T, n_fft] GEMM (the reference's
+  1. The chunk DFT Z = chunks @ E — a [C, hop] x [hop, 2K] GEMM with ratio x
+     fewer FLOPs than the framed [B*T, n_fft] GEMM (the reference's
      librosa.stft hot loop, pipeline1.py:216, does the full O(n_fft) work per
-     frame on CPU).
-  2. This kernel consumes Z tile-by-tile in VMEM and produces the outputs
-     the 149/334 pipelines need — the frame-masked power spectrogram (chroma/
-     piptrack input) and the linear mel spectrogram (MFCC input) — in one
-     pass: phase recombination across the ratio chunk slots, the periodic
-     Hann applied in the frequency domain (exact 3-tap spectrum with
-     conjugate-symmetric k=0/Nyquist edges), |.|^2, per-clip frame masking,
-     and the mel contraction on the MXU (bf16x3 split precision).
+     frame on CPU) — runs INSIDE the kernel on the MXU (bf16x3 split, ==
+     XLA's HIGH), so Z never exists in HBM (~420 MB of round-trip at the
+     bench shape); the kernel's input is the raw hop-chunked audio.
+  2. The kernel then produces the outputs the 149/334 pipelines need — the
+     frame-masked power spectrogram (chroma/piptrack input) and the linear
+     mel spectrogram (MFCC input) — in one pass: phase recombination across
+     the ratio chunk slots, the periodic Hann applied in the frequency
+     domain (exact 3-tap spectrum with conjugate-symmetric k=0/Nyquist
+     edges), |.|^2, per-clip frame masking, and the mel contraction on the
+     MXU (bf16x3 split precision).
   3. With with_tuning=True it ALSO runs the entire librosa tuning estimation
      per clip while the power spectrogram is still in VMEM: piptrack peak
      candidates (parabolic interpolation + median-magnitude threshold), the
@@ -42,6 +44,7 @@ from stutter_tpu.ops import filterbanks as fb
 from stutter_tpu.ops.spectral import _chunk_dft_mats, _chunk_phase_tables
 
 _F32_TINY = float(np.finfo(np.float32).tiny)
+_VMEM_CAP_BYTES = 8 << 20  # per-program working-set cap for the g_clips auto-tune
 
 
 def _split_bf16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -114,15 +117,18 @@ def _spectromel_kernel(
     tune_args: tuple | None,
     *refs,
 ):
-    """Z[g, C, K] (chunk DFT) -> masked power [g, T, K] + mel [g, T, M]
-    (+ per-clip tuning bin [g, 1] when tune_args = (lo, hi, n_chroma))."""
+    """chunks [g, C, hop] -> masked power [g, T, K] + mel [g, T, M]
+    (+ candidate mags/idx [g, T, w_pad] when tune_args = (lo, hi, n_chroma));
+    the chunk DFT Z = chunks @ E runs in-kernel so Z never touches HBM."""
     if tune_args is not None:
-        (zre_ref, zim_ref, pre_ref, pim_ref, mel_hi_ref, mel_lo_ref, rtab_ref,
+        (chunks_ref, ec_hi_ref, ec_lo_ref, es_hi_ref, es_lo_ref,
+         pre_ref, pim_ref, mel_hi_ref, mel_lo_ref, rtab_ref,
          nvalid_ref, power_ref, mel_ref, mags_ref, idxm_ref) = refs
     else:
-        (zre_ref, zim_ref, pre_ref, pim_ref, mel_hi_ref, mel_lo_ref,
+        (chunks_ref, ec_hi_ref, ec_lo_ref, es_hi_ref, es_lo_ref,
+         pre_ref, pim_ref, mel_hi_ref, mel_lo_ref,
          nvalid_ref, power_ref, mel_ref) = refs
-    K = zre_ref.shape[-1]
+    K = ec_hi_ref.shape[-1]
     dot = partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -131,12 +137,25 @@ def _spectromel_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (t_max, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (t_max, K), 1)
     for gi in range(g):
+        # chunk DFT on the MXU, bf16x3 split precision (== XLA's HIGH): the
+        # Z = chunks @ E GEMM runs here so Z never round-trips through HBM
+        # (at the bench shape that round-trip alone is ~420 MB / ~0.5 ms).
+        ch = chunks_ref[gi, :, :]
+        ch_hi = ch.astype(jnp.bfloat16)
+        ch_lo = (ch - ch_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dft3(hi_m, lo_m):
+            return dot(ch_hi, hi_m[:, :]) + dot(ch_hi, lo_m[:, :]) + dot(ch_lo, hi_m[:, :])
+
+        zre = dft3(ec_hi_ref, ec_lo_ref)  # [C, K]
+        zim = dft3(es_hi_ref, es_lo_ref)
+
         # phase recombination over the ratio chunk slots (slices are static)
         xr = jnp.zeros((t_max, K), jnp.float32)
         xi = jnp.zeros((t_max, K), jnp.float32)
         for c in range(ratio):
-            zr = zre_ref[gi, c : c + t_max, :]
-            zi = zim_ref[gi, c : c + t_max, :]
+            zr = zre[c : c + t_max, :]
+            zi = zim[c : c + t_max, :]
             fr = pre_ref[c, :][None, :]
             fi = pim_ref[c, :][None, :]
             xr = xr + fr * zr - fi * zi
@@ -187,6 +206,13 @@ def _mel_mats_bf16(sr: int, n_fft: int, n_mels: int):
 
 
 @lru_cache(maxsize=None)
+def _chunk_dft_mats_bf16(n_fft: int, hop: int):
+    """(cos_hi, cos_lo, sin_hi, sin_lo) bf16 splits of the chunk-DFT matrices."""
+    cos_c, sin_c = _chunk_dft_mats(n_fft, hop)
+    return (*_split_bf16(cos_c), *_split_bf16(sin_c))
+
+
+@lru_cache(maxsize=None)
 def _tuning_consts(sr: int, n_fft: int, n_chroma: int):
     """(lo, hi) piptrack band range + [1, K] f64-accurate residual table."""
     from stutter_tpu.ops.chroma import _band_range, _residual_table
@@ -233,37 +259,37 @@ def spectromel_pallas(
         tune_args = None
     # VMEM budget: Z block (2 x C x K f32) + power/temps (~8 x T x K f32) per
     # clip (+ ~8 x T x band f32 tuning temps); cap the per-program working
-    # set near 8 MB so long buckets (10 s -> T=321) still compile.
+    # set (default ~8 MB) so long buckets (10 s -> T=321) still compile.
     per_clip = ((t_max + ratio) * K * 2 + t_max * K * 8) * 4
     if with_tuning:
         per_clip += t_max * (hi - lo) * 8 * 4
-    g_clips = max(1, min(g_clips, (8 << 20) // per_clip))
+    g_clips = max(1, min(g_clips, _VMEM_CAP_BYTES // per_clip))
     while B % g_clips:
         g_clips -= 1
 
     padded = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)))
     chunks = padded.reshape(B, -1, hop_length)  # [B, C, hop]
     C = chunks.shape[1]
-    cos_c, sin_c = _chunk_dft_mats(n_fft, hop_length)
-    z_re = jnp.einsum(
-        "bch,hf->bcf", chunks, jnp.asarray(cos_c), precision=jax.lax.Precision.HIGH
-    )
-    z_im = jnp.einsum(
-        "bch,hf->bcf", chunks, jnp.asarray(sin_c), precision=jax.lax.Precision.HIGH
-    )
+    ec_hi, ec_lo, es_hi, es_lo = _chunk_dft_mats_bf16(n_fft, hop_length)
 
     p_re, p_im = _chunk_phase_tables(n_fft, hop_length)
     mel_hi, mel_lo = _mel_mats_bf16(sr, n_fft, n_mels)
     n_valid = (1 + lengths // hop_length).astype(jnp.int32)[:, None]  # [B, 1]
 
     const_specs = [
+        pl.BlockSpec((hop_length, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hop_length, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hop_length, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hop_length, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((ratio, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [
-        z_re, z_im, jnp.asarray(p_re), jnp.asarray(p_im),
+        chunks, jnp.asarray(ec_hi), jnp.asarray(ec_lo),
+        jnp.asarray(es_hi), jnp.asarray(es_lo),
+        jnp.asarray(p_re), jnp.asarray(p_im),
         jnp.asarray(mel_hi), jnp.asarray(mel_lo),
     ]
     out_specs = [
@@ -292,8 +318,9 @@ def spectromel_pallas(
         partial(_spectromel_kernel, ratio, t_max, g_clips, tune_args),
         grid=(B // g_clips,),
         in_specs=[
-            pl.BlockSpec((g_clips, C, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_clips, C, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (g_clips, C, hop_length), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
             *const_specs,
             pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ],
