@@ -211,7 +211,8 @@ def estimate_tuning_bin(
 
 
 def tuning_bin_from_candidates(
-    mags: jnp.ndarray, idxm: jnp.ndarray, n_bins: int = 100
+    mags: jnp.ndarray, idxm: jnp.ndarray, n_bins: int = 100,
+    compacted: bool = False,
 ) -> jnp.ndarray:
     """Candidate arrays [B, T, W] -> [B] int32 tuning bin.
 
@@ -224,7 +225,8 @@ def tuning_bin_from_candidates(
 
       * exact 4->2 group compaction (local maxima are never adjacent, so any
         4 consecutive bins hold <= 2 candidates) halves the array the median
-        and histogram sweep;
+        and histogram sweep — skipped with compacted=True, where the kernel
+        already emitted compacted slot arrays (its MXU pack GEMMs);
       * exact masked median via the fused dual-rank radix select;
       * histogram via a FACTORIZED one-hot batched matmul: bin = 10*h + l,
         so counts[b,h,l] = sum_n oh_h[b,n,h] * oh_l[b,n,l] — two [B,N,10]
@@ -232,6 +234,15 @@ def tuning_bin_from_candidates(
         exact) instead of n_bins compare-and-sum passes over [B, N].
     """
     B, T, W = mags.shape
+
+    if compacted:
+        mag_c = mags.reshape(B, -1)
+        idx_c = jnp.round(idxm).astype(jnp.int32).reshape(B, -1)
+        cand_c = idx_c >= 0
+        med = masked_median(mag_c, cand_c)
+        sel = cand_c & (mag_c >= med[:, None])
+        return _histogram_argmax(idx_c, sel, n_bins)
+
     cand = idxm >= 0
 
     # exact 4->2 compaction (W is a multiple of 4 by construction)
@@ -253,7 +264,13 @@ def tuning_bin_from_candidates(
 
     med = masked_median(mag_c, cand_c)
     sel = cand_c & (mag_c >= med[:, None])
+    return _histogram_argmax(idx_c, sel, n_bins)
 
+
+def _histogram_argmax(idx_c: jnp.ndarray, sel: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """[B, N] int32 bins + select mask -> [B] argmax of the factorized
+    one-hot MXU histogram (librosa no-candidate fallback = middle bin)."""
+    B = idx_c.shape[0]
     h = jnp.clip(idx_c // 10, 0, 9)
     l = idx_c - h * 10
     tens = jnp.arange(10, dtype=jnp.int32)

@@ -57,16 +57,28 @@ _TUNE_THRESHOLD = 0.1  # librosa piptrack default
 _TUNE_BINS = 100  # ceil(1 / resolution), resolution 0.01
 
 
-def _candidates_of(power, rtab_ref, lo: int, hi: int, n_chroma: int, w_pad: int):
-    """Per-clip piptrack candidates on a VMEM-resident power spec.
+def _candidates_of(power, rtab_ref, gpack_ref, lo: int, hi: int, n_chroma: int,
+                   wslot: int):
+    """Per-clip piptrack candidates, 4->2 compacted, on a VMEM power spec.
 
-    power: [t_max, K] frame-masked power -> (mags [t_max, w_pad] with 0 at
-    non-candidates, idxm [t_max, w_pad] f32 with the residual histogram bin
-    0..99 at candidates and -1 elsewhere).  Pure vector ops — the per-clip
-    serial parts of the tuning estimate (median + histogram) stay in XLA
-    (ops/chroma.tuning_bin_from_candidates): inside the kernel they would
-    serialize across the sequential grid (measured 7.4 ms/batch of pure
-    loop-latency at B=256, g=2).
+    power: [t_max, K] frame-masked power -> ((mag_s, idx_s) per compaction
+    slot, each [t_max, wslot]: mag 0 at empty slots, idx f32 residual
+    histogram bin 0..99 at candidates, -1 elsewhere).  Pure vector ops plus
+    small pack GEMMs — the per-clip serial parts of the tuning estimate
+    (median + histogram) stay in XLA (ops/chroma.tuning_bin_from_candidates):
+    inside the kernel they would serialize across the sequential grid
+    (measured 7.4 ms/batch of pure loop-latency at B=256, g=2).
+
+    Compaction: local maxima are never adjacent, so any 4 consecutive bins
+    hold <= 2 candidates and groupwise first/second selection is exact (the
+    same property ops/chroma.piptrack_candidates exploits).  The pack onto
+    the compacted grid rides the MXU: out_s = (x * sel_s) @ G with
+    G[k, k//4] = 1 — every output element sums <= 1 nonzero product against
+    an exactly-representable 0/1 matrix, so a 3-way bf16 split of the
+    magnitudes reproduces f32 to ~2^-24 and the (idx+2) pack (integers
+    <= 101) is exact in one bf16 GEMM.  Emitting compacted arrays halves the
+    kernel's candidate HBM writes and removes the XLA tail's compaction
+    passes (measured ~2.5 ms/batch at B=256).
 
     Numerics identical to ops/chroma (piptrack_candidates +
     estimate_tuning_bin): parabolic interpolation, full-spectrum threshold,
@@ -102,12 +114,46 @@ def _candidates_of(power, rtab_ref, lo: int, hi: int, n_chroma: int, w_pad: int)
     residual = jnp.mod(rb + (n_chroma / ln2) * poly, 1.0)
     residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
     idx = jnp.clip(jnp.floor((residual + 0.5) * _TUNE_BINS), 0, _TUNE_BINS - 1)
-    idxm = jnp.where(candp, idx, -1.0)
-    pad = ((0, 0), (0, w_pad - band))
-    return (
-        jnp.pad(jnp.where(candp, mags, 0.0), pad),
-        jnp.pad(idxm, pad, constant_values=-1.0),
+
+    # ---- exact 4->2 compaction + MXU pack ----
+    # groupwise exclusive candidate count via 3 lane shifts + position masks
+    magv = jnp.where(candp, mags, 0.0)
+    cf = candp.astype(jnp.float32)
+    z1 = jnp.zeros((t_max, 1), jnp.float32)
+    s1 = jnp.concatenate([z1, cf[:, :-1]], axis=1)
+    s2 = jnp.concatenate([z1, z1, cf[:, :-2]], axis=1)
+    s3 = jnp.concatenate([z1, z1, z1, cf[:, :-3]], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t_max, band), 1) % 4
+    cs = (
+        s1 * (pos >= 1).astype(jnp.float32)
+        + s2 * (pos >= 2).astype(jnp.float32)
+        + s3 * (pos >= 3).astype(jnp.float32)
     )
+    first = candp & (cs < 0.5)
+    second = candp & (cs > 0.5) & (cs < 1.5)
+
+    dot = partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # One pack GEMM set per slot (Mosaic cannot concat at unaligned offsets,
+    # so slots are returned separately and stored to aligned output halves).
+    G = gpack_ref[:, :]
+
+    def pack(sel):
+        m = jnp.where(sel, magv, 0.0)
+        m_a = m.astype(jnp.bfloat16)
+        r_a = m - m_a.astype(jnp.float32)
+        m_b = r_a.astype(jnp.bfloat16)
+        m_c = (r_a - m_b.astype(jnp.float32)).astype(jnp.bfloat16)
+        mag_s = dot(m_a, G) + dot(m_b, G) + dot(m_c, G)  # [T, wslot]
+        iv = jnp.where(sel, idx + 2.0, 0.0).astype(jnp.bfloat16)
+        pidx = dot(iv, G)
+        idx_s = jnp.where(pidx > 0.5, pidx - 2.0, -1.0)
+        return mag_s, idx_s
+
+    return pack(first), pack(second)
 
 
 def _spectromel_kernel(
@@ -122,7 +168,7 @@ def _spectromel_kernel(
     the chunk DFT Z = chunks @ E runs in-kernel so Z never touches HBM."""
     if tune_args is not None:
         (chunks_ref, ec_hi_ref, ec_lo_ref, es_hi_ref, es_lo_ref,
-         pre_ref, pim_ref, mel_hi_ref, mel_lo_ref, rtab_ref,
+         pre_ref, pim_ref, mel_hi_ref, mel_lo_ref, rtab_ref, gpack_ref,
          nvalid_ref, power_ref, mel_ref, mags_ref, idxm_ref) = refs
     else:
         (chunks_ref, ec_hi_ref, ec_lo_ref, es_hi_ref, es_lo_ref,
@@ -192,11 +238,14 @@ def _spectromel_kernel(
 
         if tune_args is not None:
             lo, hi, n_chroma = tune_args
-            m, ix = _candidates_of(
-                power, rtab_ref, lo, hi, n_chroma, mags_ref.shape[-1]
+            wslot = mags_ref.shape[-1] // 2
+            (m0, ix0), (m1, ix1) = _candidates_of(
+                power, rtab_ref, gpack_ref, lo, hi, n_chroma, wslot
             )
-            mags_ref[gi, :, :] = m
-            idxm_ref[gi, :, :] = ix
+            mags_ref[gi, :, :wslot] = m0
+            mags_ref[gi, :, wslot:] = m1
+            idxm_ref[gi, :, :wslot] = ix0
+            idxm_ref[gi, :, wslot:] = ix1
 
 
 @lru_cache(maxsize=None)
@@ -214,13 +263,19 @@ def _chunk_dft_mats_bf16(n_fft: int, hop: int):
 
 @lru_cache(maxsize=None)
 def _tuning_consts(sr: int, n_fft: int, n_chroma: int):
-    """(lo, hi) piptrack band range + [1, K] f64-accurate residual table."""
+    """(lo, hi) piptrack band range, [1, K] f64-accurate residual table, and
+    the [band, wslot] bf16 group-pack matrix G[k, k//4] = 1 (lane-aligned)."""
     from stutter_tpu.ops.chroma import _band_range, _residual_table
 
     K = n_fft // 2 + 1
     lo, hi = _band_range(sr, n_fft, 150.0, 4000.0)
     rtab = _residual_table(sr, n_fft, K, n_chroma).reshape(1, K)
-    return lo, hi, rtab
+    band = hi - lo
+    n_groups = -(-band // 4)
+    wslot = -(-n_groups // 128) * 128
+    gpack = np.zeros((band, wslot), np.float32)
+    gpack[np.arange(band), np.arange(band) // 4] = 1.0
+    return lo, hi, rtab, gpack.astype(jnp.bfloat16)
 
 
 @partial(
@@ -252,9 +307,9 @@ def spectromel_pallas(
     t_max = N // hop_length + 1
     K = n_fft // 2 + 1
     if with_tuning:
-        lo, hi, rtab = _tuning_consts(sr, n_fft, n_chroma)
+        lo, hi, rtab, gpack = _tuning_consts(sr, n_fft, n_chroma)
         tune_args = (lo, hi, n_chroma)
-        w_pad = -(-(hi - lo) // 128) * 128  # candidate width, lane-aligned
+        w_pad = 2 * gpack.shape[1]  # two compacted slots, lane-aligned
     else:
         tune_args = None
     # VMEM budget: Z block (2 x C x K f32) + power/temps (~8 x T x K f32) per
@@ -262,7 +317,8 @@ def spectromel_pallas(
     # set (default ~8 MB) so long buckets (10 s -> T=321) still compile.
     per_clip = ((t_max + ratio) * K * 2 + t_max * K * 8) * 4
     if with_tuning:
-        per_clip += t_max * (hi - lo) * 8 * 4
+        # candidate temps + the [2T, band] pack stacks and their bf16 splits
+        per_clip += t_max * (hi - lo) * 12 * 4
     g_clips = max(1, min(g_clips, _VMEM_CAP_BYTES // per_clip))
     while B % g_clips:
         g_clips -= 1
@@ -305,6 +361,10 @@ def spectromel_pallas(
             pl.BlockSpec((1, K), lambda b: (0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(jnp.asarray(rtab))
+        const_specs.append(
+            pl.BlockSpec(gpack.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(jnp.asarray(gpack))
         for _ in range(2):  # candidate mags + residual-bin index
             out_specs.append(
                 pl.BlockSpec(
@@ -332,5 +392,5 @@ def spectromel_pallas(
         from stutter_tpu.ops.chroma import tuning_bin_from_candidates
 
         power, mel, mags, idxm = outs
-        return power, mel, tuning_bin_from_candidates(mags, idxm)
+        return power, mel, tuning_bin_from_candidates(mags, idxm, compacted=True)
     return outs
