@@ -274,10 +274,12 @@ def _histogram_argmax(idx_c: jnp.ndarray, sel: jnp.ndarray, n_bins: int) -> jnp.
     h = jnp.clip(idx_c // 10, 0, 9)
     l = idx_c - h * 10
     tens = jnp.arange(10, dtype=jnp.int32)
-    oh_h = ((h[:, :, None] == tens) & sel[:, :, None]).astype(jnp.bfloat16)
-    oh_l = (l[:, :, None] == tens).astype(jnp.bfloat16)
+    # int8 one-hots ride the MXU's s8xs8->s32 path: exact counts at half the
+    # HBM materialization of bf16 one-hots
+    oh_h = ((h[:, :, None] == tens) & sel[:, :, None]).astype(jnp.int8)
+    oh_l = (l[:, :, None] == tens).astype(jnp.int8)
     hist = jnp.einsum(
-        "bnh,bnl->bhl", oh_h, oh_l, preferred_element_type=jnp.float32
+        "bnh,bnl->bhl", oh_h, oh_l, preferred_element_type=jnp.int32
     ).reshape(B, 100)[:, :n_bins]
     has_any = jnp.any(sel, axis=-1)
     return jnp.where(

@@ -42,7 +42,9 @@ def spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma=12):
     pass produces the masked power spectrogram, the mel contraction, AND the
     per-clip librosa tuning bin (ops/pallas_spectromel.py); elsewhere the XLA
     reference composition (tuning returned as None; callers fall back to
-    ops.chroma.estimate_tuning_bin)."""
+    ops.chroma.estimate_tuning_bin).  The 149-dim TPU path bypasses this
+    entirely (extract_features_149_batch uses the kernel's with_stats mode);
+    this entry remains for the 334-variant and mel consumers."""
     if jax.default_backend() not in ("cpu", "gpu"):
         from stutter_tpu.ops.pallas_spectromel import spectromel_pallas
 
@@ -85,13 +87,31 @@ def extract_features_149_batch(
     Clips with fewer than 9 valid frames (< 0.26 s) return all-zero vectors,
     matching the reference's exception path (pipeline1.py:237-239).
     """
-    power, mask, db, tb = spect_mel_db(
-        audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma
-    )
     n_valid = 1 + lengths // hop_length
+    if jax.default_backend() not in ("cpu", "gpu"):
+        # Fully-fused TPU path: one Pallas kernel emits the masked power
+        # spectrogram, the complete MFCC/delta statistics (db -> DCT ->
+        # SavGol deltas -> masked mean/std, all in VMEM), and the compacted
+        # piptrack candidates for the tuning estimate.
+        from stutter_tpu.ops.pallas_spectromel import spectromel_pallas
 
-    mf = mfcc_from_db(db, n_mfcc)
-    d1, d2 = sg_deltas(mf, n_valid, orders=(1, 2))
+        power, stats, tb = spectromel_pallas(
+            audio, lengths, sr=sr, n_fft=n_fft, hop_length=hop_length,
+            n_mels=n_mels, n_mfcc=n_mfcc, n_chroma=n_chroma,
+            with_tuning=True, with_stats=True,
+        )
+        mask = frame_mask(lengths, hop_length, power.shape[1])
+        mfcc_stats = stats.reshape(audio.shape[0], 6 * n_mfcc)
+    else:
+        power, mask, db, tb = spect_mel_db(
+            audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma
+        )
+        mf = mfcc_from_db(db, n_mfcc)
+        d1, d2 = sg_deltas(mf, n_valid, orders=(1, 2))
+        mfcc_stats = jnp.concatenate(
+            [_stat_pair(mf, mask), _stat_pair(d1, mask), _stat_pair(d2, mask)],
+            axis=-1,
+        )
 
     if tb is None:
         tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
@@ -99,9 +119,7 @@ def extract_features_149_batch(
 
     feats = jnp.concatenate(
         [
-            _stat_pair(mf, mask),
-            _stat_pair(d1, mask),
-            _stat_pair(d2, mask),
+            mfcc_stats,
             _stat_pair(ch, mask),
             jnp.zeros((audio.shape[0], 5), jnp.float32),
         ],

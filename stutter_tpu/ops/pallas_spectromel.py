@@ -161,19 +161,27 @@ def _spectromel_kernel(
     t_max: int,
     g: int,
     tune_args: tuple | None,
+    stat_args: tuple | None,
     *refs,
 ):
-    """chunks [g, C, hop] -> masked power [g, T, K] + mel [g, T, M]
-    (+ candidate mags/idx [g, T, w_pad] when tune_args = (lo, hi, n_chroma));
-    the chunk DFT Z = chunks @ E runs in-kernel so Z never touches HBM."""
+    """chunks [g, C, hop] -> masked power [g, T, K] + mel [g, T, M] (or, with
+    stat_args = (lasts,), the fused MFCC/delta stats [g, 6, n_mfcc] instead
+    of mel) + candidate mags/idx [g, T, w_pad] when tune_args = (lo, hi,
+    n_chroma); the chunk DFT Z = chunks @ E runs in-kernel so Z never
+    touches HBM."""
+    it = iter(refs)
+    (chunks_ref, ec_hi_ref, ec_lo_ref, es_hi_ref, es_lo_ref,
+     pre_ref, pim_ref, mel_hi_ref, mel_lo_ref) = (next(it) for _ in range(9))
     if tune_args is not None:
-        (chunks_ref, ec_hi_ref, ec_lo_ref, es_hi_ref, es_lo_ref,
-         pre_ref, pim_ref, mel_hi_ref, mel_lo_ref, rtab_ref, gpack_ref,
-         nvalid_ref, power_ref, mel_ref, mags_ref, idxm_ref) = refs
-    else:
-        (chunks_ref, ec_hi_ref, ec_lo_ref, es_hi_ref, es_lo_ref,
-         pre_ref, pim_ref, mel_hi_ref, mel_lo_ref,
-         nvalid_ref, power_ref, mel_ref) = refs
+        rtab_ref, gpack_ref = next(it), next(it)
+    if stat_args is not None:
+        dct_hi_ref, dct_lo_ref = next(it), next(it)
+        sg_refs = ((next(it), next(it)), (next(it), next(it)))
+    nvalid_ref = next(it)
+    power_ref = next(it)
+    mel_ref = next(it)  # [g, T, M] mel, or [g, 6, n_mfcc] stats
+    if tune_args is not None:
+        mags_ref, idxm_ref = next(it), next(it)
     K = ec_hi_ref.shape[-1]
     dot = partial(
         jax.lax.dot_general,
@@ -223,18 +231,28 @@ def _spectromel_kernel(
         yr = jnp.where(cols == K - 1, 0.5 * xr[:, K - 1 : K] - 0.5 * xrn, yr)
         yi = jnp.where(cols == K - 1, 0.5 * xi[:, K - 1 : K], yi)
 
+        nv = nvalid_ref[pl.program_id(0) * g + gi, 0]
         power = yr * yr + yi * yi
-        power = jnp.where(rows < nvalid_ref[pl.program_id(0) * g + gi, 0], power, 0.0)
+        power = jnp.where(rows < nv, power, 0.0)
         power_ref[gi, :, :] = power
 
         # mel contraction on the MXU, bf16x3 split precision (~f32 quality)
         p_hi = power.astype(jnp.bfloat16)
         p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        mel_ref[gi, :, :] = (
+        mel = (
             dot(p_hi, mel_hi_ref[:, :])
             + dot(p_hi, mel_lo_ref[:, :])
             + dot(p_lo, mel_hi_ref[:, :])
         )
+        if stat_args is None:
+            mel_ref[gi, :, :] = mel
+        else:
+            (lasts,) = stat_args
+            stats = _mfcc_stats_of(
+                mel, nv, dct_hi_ref, dct_lo_ref, sg_refs, lasts, t_max
+            )
+            for r, v in enumerate(stats):
+                mel_ref[gi, r : r + 1, :] = v
 
         if tune_args is not None:
             lo, hi, n_chroma = tune_args
@@ -246,6 +264,109 @@ def _spectromel_kernel(
             mags_ref[gi, :, wslot:] = m1
             idxm_ref[gi, :, :wslot] = ix0
             idxm_ref[gi, :, wslot:] = ix1
+
+
+@lru_cache(maxsize=None)
+def _stat_consts(t_max: int, n_mfcc: int, n_mels: int, width: int = 9):
+    """Constants for the in-kernel MFCC/delta/stats path.
+
+    Returns (dct_hi, dct_lo [n_mels, n_mfcc]; per order: S_hi, S_lo
+    [t_max, t_max] banded SavGol operator with static first-edge rows baked
+    in; last-edge coefficient rows [half][width] as python floats for
+    unrolled in-kernel FMAs).  The dynamic last-edge rows (positions depend
+    on each clip's n_valid) are applied inside the kernel via an exact
+    one-hot window GEMM + iota-compare overwrite.
+    """
+    half = width // 2
+    dct_t = fb.dct_mat(n_mfcc, n_mels).T.copy()  # [n_mels, n_mfcc]
+    out = [*_split_bf16(dct_t)]
+    lasts = []
+    for order in (1, 2):
+        ops = fb.savgol_ops(width, order)
+        S = np.zeros((t_max, t_max), np.float64)
+        for j in range(width):
+            k = float(ops.interior[j])
+            for t in range(t_max):
+                src = t + j - half
+                if 0 <= src < t_max:
+                    S[t, src] += k
+        S[:half, :] = 0.0
+        S[:half, :width] = np.asarray(ops.first, np.float64)
+        out.extend(_split_bf16(S.astype(np.float32)))
+        lasts.append(tuple(tuple(float(v) for v in row) for row in ops.last))
+    return tuple(out), tuple(lasts)
+
+
+def _mfcc_stats_of(
+    mel, nv, dct_hi_ref, dct_lo_ref, sg_refs, lasts, t_max: int, width: int = 9
+):
+    """VMEM-resident [t_max, n_mels] linear mel + scalar n_valid ->
+    [6, n_mfcc] rows (mfcc mean/std, delta mean/std, delta2 mean/std).
+
+    Reproduces the XLA tail db_from_mel -> mfcc_from_db -> sg_deltas ->
+    masked_mean_std (ops/spectral.py, ops/delta.py, ops/masked.py; ref
+    pipeline1.py:216-221) with all intermediates in VMEM: librosa
+    power_to_db with the per-clip valid-frame max clamp, orthonormal DCT-II
+    on the MXU (bf16x3 == XLA HIGH), SavGol interior+first-edge as one
+    banded [T, T] GEMM, and the per-clip dynamic last-edge rows via an
+    exact one-hot window GEMM (0/1 matrix x 3-way bf16 split ~ f32 exact)
+    + iota-compare overwrites.
+    """
+    half = width // 2
+    dot = partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    def split3(a):
+        a_hi = a.astype(jnp.bfloat16)
+        r = a - a_hi.astype(jnp.float32)
+        a_mid = r.astype(jnp.bfloat16)
+        a_lo = (r - a_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return a_hi, a_mid, a_lo
+
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (t_max, 1), 0)
+    mask_t = rows_t < nv
+    cnt = jnp.maximum(nv, 1).astype(jnp.float32)
+
+    db = 10.0 * jnp.log10(jnp.maximum(1e-10, mel))
+    cmax = jnp.max(jnp.where(mask_t, db, -jnp.inf))
+    db = jnp.maximum(db, cmax - 80.0)
+
+    db_hi, db_mid, db_lo = split3(db)
+    mf = (
+        dot(db_hi, dct_hi_ref[:, :])
+        + dot(db_hi, dct_lo_ref[:, :])
+        + dot(db_mid, dct_hi_ref[:, :])
+    )  # [T, C], bf16x3 == XLA HIGH
+
+    # exact one-hot select of the last `width` valid rows (shared by orders)
+    start = jnp.maximum(nv - width, 0)
+    wj = jax.lax.broadcasted_iota(jnp.int32, (width, t_max), 0)
+    wt = jax.lax.broadcasted_iota(jnp.int32, (width, t_max), 1)
+    W = (wt == start + wj).astype(jnp.bfloat16)
+    mf_hi, mf_mid, mf_lo = split3(mf)
+    win = dot(W, mf_hi) + dot(W, mf_mid) + dot(W, mf_lo)  # [width, C] ~exact
+
+    def mstat(x):
+        mean = jnp.sum(jnp.where(mask_t, x, 0.0), axis=0, keepdims=True) / cnt
+        c = x - mean
+        var = jnp.sum(jnp.where(mask_t, c * c, 0.0), axis=0, keepdims=True) / cnt
+        return mean, jnp.sqrt(var)
+
+    out = [*mstat(mf)]
+    for o, (sg_hi_ref, sg_lo_ref) in enumerate(sg_refs):
+        d = (
+            dot(sg_hi_ref[:, :], mf_hi)
+            + dot(sg_hi_ref[:, :], mf_mid)
+            + dot(sg_lo_ref[:, :], mf_hi)
+        )  # interior + static first edge, bf16x3
+        for e in range(half):
+            le = sum(lasts[o][e][j] * win[j : j + 1, :] for j in range(width))
+            d = jnp.where(rows_t == nv - half + e, le, d)
+        out.extend(mstat(d))
+    return out  # 6 x [1, n_mfcc]
 
 
 @lru_cache(maxsize=None)
@@ -281,8 +402,8 @@ def _tuning_consts(sr: int, n_fft: int, n_chroma: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "sr", "n_fft", "hop_length", "n_mels", "n_chroma", "g_clips",
-        "with_tuning", "interpret",
+        "sr", "n_fft", "hop_length", "n_mels", "n_mfcc", "n_chroma", "g_clips",
+        "with_tuning", "with_stats", "interpret",
     ),
 )
 def spectromel_pallas(
@@ -292,26 +413,40 @@ def spectromel_pallas(
     n_fft: int = 2048,
     hop_length: int = 512,
     n_mels: int = 128,
+    n_mfcc: int = 20,
     n_chroma: int = 12,
     g_clips: int = 4,
     with_tuning: bool = False,
+    with_stats: bool = False,
     interpret: bool = False,
 ):
     """[B, N] zero-padded audio + lengths -> (power [B,T,K] frame-masked,
     mel [B,T,n_mels]) matching power_spectrogram(method='chunked') + masking +
     the mel contraction of mel_power_to_db.  With with_tuning=True, also
     returns tuning_bin [B] int32 == ops.chroma.estimate_tuning_bin(power).
+    With with_stats=True (requires with_tuning), the mel output is replaced
+    by the fused MFCC/delta statistics [B, 6, n_mfcc] (rows: mfcc mean/std,
+    delta mean/std, delta2 mean/std over valid frames — the XLA chain
+    db_from_mel -> mfcc_from_db -> sg_deltas -> masked_mean_std computed
+    entirely in VMEM), and the return is (power, stats, tuning_bin).
     """
     B, N = audio.shape
     ratio = n_fft // hop_length
     t_max = N // hop_length + 1
     K = n_fft // 2 + 1
+    if with_stats and not with_tuning:
+        raise ValueError("with_stats requires with_tuning")
     if with_tuning:
         lo, hi, rtab, gpack = _tuning_consts(sr, n_fft, n_chroma)
         tune_args = (lo, hi, n_chroma)
         w_pad = 2 * gpack.shape[1]  # two compacted slots, lane-aligned
     else:
         tune_args = None
+    if with_stats:
+        stat_mats, lasts = _stat_consts(t_max, n_mfcc, n_mels)
+        stat_args = (lasts,)
+    else:
+        stat_args = None
     # VMEM budget: Z block (2 x C x K f32) + power/temps (~8 x T x K f32) per
     # clip (+ ~8 x T x band f32 tuning temps); cap the per-program working
     # set (default ~8 MB) so long buckets (10 s -> T=321) still compile.
@@ -319,6 +454,9 @@ def spectromel_pallas(
     if with_tuning:
         # candidate temps + the [2T, band] pack stacks and their bf16 splits
         per_clip += t_max * (hi - lo) * 12 * 4
+    if with_stats:
+        # db/mfcc/delta temps (lane-padded to 128 inside the core)
+        per_clip += t_max * max(n_mels, 128) * 16 * 4
     g_clips = max(1, min(g_clips, _VMEM_CAP_BYTES // per_clip))
     while B % g_clips:
         g_clips -= 1
@@ -350,12 +488,18 @@ def spectromel_pallas(
     ]
     out_specs = [
         pl.BlockSpec((g_clips, t_max, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((g_clips, t_max, n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, t_max, K), jnp.float32),
-        jax.ShapeDtypeStruct((B, t_max, n_mels), jnp.float32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((B, t_max, K), jnp.float32)]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((g_clips, 6, n_mfcc), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((B, 6, n_mfcc), jnp.float32))
+    else:
+        out_specs.append(
+            pl.BlockSpec((g_clips, t_max, n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((B, t_max, n_mels), jnp.float32))
     if with_tuning:
         const_specs.append(
             pl.BlockSpec((1, K), lambda b: (0, 0), memory_space=pltpu.VMEM)
@@ -373,9 +517,15 @@ def spectromel_pallas(
                 )
             )
             out_shape.append(jax.ShapeDtypeStruct((B, t_max, w_pad), jnp.float32))
+    if with_stats:
+        for m in stat_mats:
+            const_specs.append(
+                pl.BlockSpec(m.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+            )
+            operands.append(jnp.asarray(m))
 
     outs = pl.pallas_call(
-        partial(_spectromel_kernel, ratio, t_max, g_clips, tune_args),
+        partial(_spectromel_kernel, ratio, t_max, g_clips, tune_args, stat_args),
         grid=(B // g_clips,),
         in_specs=[
             pl.BlockSpec(
@@ -391,6 +541,6 @@ def spectromel_pallas(
     if with_tuning:
         from stutter_tpu.ops.chroma import tuning_bin_from_candidates
 
-        power, mel, mags, idxm = outs
-        return power, mel, tuning_bin_from_candidates(mags, idxm, compacted=True)
+        power, melstats, mags, idxm = outs
+        return power, melstats, tuning_bin_from_candidates(mags, idxm, compacted=True)
     return outs

@@ -41,6 +41,48 @@ def test_chunked_spectrogram_matches_fft(rng):
         assert np.abs(p_ch - p_fft).max() / p_fft.max() < 1e-5
 
 
+def test_spectromel_kernel_stats_match_xla(rng):
+    """In-kernel db->DCT->SavGol-delta->masked-stats == the XLA composition."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.delta import sg_deltas
+    from stutter_tpu.ops.masked import frame_mask, masked_mean_std
+    from stutter_tpu.ops.pallas_spectromel import spectromel_pallas
+    from stutter_tpu.ops.spectral import mel_power_to_db, mfcc_from_db, power_spectrogram
+
+    t = np.arange(24576) / 16000.0
+    rows = [
+        0.5 * np.sin(2 * np.pi * 220.7 * t) + 0.05 * rng.randn(24576),
+        0.3 * rng.randn(24576),
+        0.4 * np.sin(2 * np.pi * 452.2 * t),
+        0.2 * rng.randn(24576),
+    ]
+    audio = jnp.asarray(np.stack(rows).astype(np.float32))
+    lengths = jnp.asarray(np.array([24576, 20000, 9000, 6000], np.int32))
+    p, stats, tb = spectromel_pallas(
+        audio, lengths, with_tuning=True, with_stats=True, interpret=True
+    )
+    assert stats.shape == (4, 6, 20)
+
+    # XLA reference composition
+    n_valid = 1 + lengths // 512
+    power = power_spectrogram(audio, 2048, 512, method="fft")
+    mask = frame_mask(lengths, 512, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    db = mel_power_to_db(power, mask, 16000, 2048, 128)
+    mf = mfcc_from_db(db, 20)
+    d1, d2 = sg_deltas(mf, n_valid, orders=(1, 2))
+    ref_rows = []
+    for x in (mf, d1, d2):
+        mean, std = masked_mean_std(x, mask, axis=1)
+        ref_rows.extend([mean, std])
+    ref = np.stack([np.asarray(r) for r in ref_rows], axis=1)  # [B, 6, 20]
+    got = np.asarray(stats)
+    assert np.abs(got - ref).max() < 2e-3, np.abs(got - ref).max()
+    # means are O(1)-O(100); deltas are small — check relative scale too
+    assert np.abs(got - ref).mean() < 2e-4
+
+
 def test_spectromel_kernel_tuning_matches_xla(rng):
     """In-kernel piptrack+median+histogram tuning == estimate_tuning_bin."""
     import jax.numpy as jnp
