@@ -71,11 +71,17 @@ def cross_validate_seq(
     folds: list[tuple[np.ndarray, np.ndarray]],
     n_classes: int,
     train_cfg: SeqTrainConfig = SeqTrainConfig(epochs=80, batch_size=64),
+    n_seeds: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """K-fold CV for a sequence head; returns (y_pred, y_proba) in row order.
 
     The dataset is featurized once; per-fold standardization uses the train
-    rows only (no leakage)."""
+    rows only (no leakage).  n_seeds > 1 soft-votes the out-of-fold
+    probabilities of n_seeds independently-initialized trainings (seeds
+    train_cfg.seed .. +n_seeds-1) — the same seed-vote the MLP grid trainer
+    uses (train/trainer.py), which adds ~1pt CV on the reference corpus."""
+    import dataclasses
+
     spec = ARCHS[arch]
     X, nv = prepare_sequence_dataset(clips, kind=spec["kind"])
     N = len(clips)
@@ -84,11 +90,18 @@ def cross_validate_seq(
         Xs_tr, mean, std = standardize_sequences(X[tr], nv[tr])
         mask = (np.arange(X.shape[1])[None, :] < nv[:, None])[..., None]
         Xs_all = ((X - mean) / std * mask).astype(np.float32)
-        params = train_sequence_model(
-            spec["init_fn"], spec["apply_fn"], Xs_all[tr], nv[tr], y[tr],
-            n_classes, train_cfg, spec["init_kwargs"](n_classes),
-        )
-        y_proba[te] = predict_sequence_model(spec["apply_fn"], params, Xs_all[te], nv[te])
+        for s in range(n_seeds):
+            tc = (
+                train_cfg if s == 0
+                else dataclasses.replace(train_cfg, seed=train_cfg.seed + s)
+            )
+            params = train_sequence_model(
+                spec["init_fn"], spec["apply_fn"], Xs_all[tr], nv[tr], y[tr],
+                n_classes, tc, spec["init_kwargs"](n_classes),
+            )
+            y_proba[te] += predict_sequence_model(
+                spec["apply_fn"], params, Xs_all[te], nv[te]
+            ) / n_seeds
     return y_proba.argmax(-1), y_proba
 
 

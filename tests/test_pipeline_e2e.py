@@ -103,3 +103,25 @@ def test_run_seq_on_synthetic(workspace, cfg):
     res = run_seq(workspace, "cnn", cfg, SeqTrainConfig(epochs=15, batch_size=8))
     assert res["accuracy"] > 70  # tones vs noise is trivially separable
     assert os.path.exists(os.path.join(workspace, "output_results", "model_cnn.npz"))
+
+
+def test_cross_validate_seq_seed_vote(workspace, cfg):
+    """n_seeds soft-vote: runs multiple seeds per fold, probas stay normalized."""
+    import numpy as np
+
+    from stutter_tpu.data import encode_labels
+    from stutter_tpu.train.seq_pipeline import cross_validate_seq, load_corpus_clips
+    from stutter_tpu.train.seq_trainer import SeqTrainConfig
+    from stutter_tpu.train.splits import stratified_kfold
+
+    clips, labels = load_corpus_clips(workspace, cfg)
+    labels, le = encode_labels(labels, "folder")
+    y = le.transform(labels)
+    folds = stratified_kfold(y, 2, 0)
+    pred, proba = cross_validate_seq(
+        "cnn", clips, y, folds, le.n_classes,
+        SeqTrainConfig(epochs=10, batch_size=8, mixup_alpha=0.2), n_seeds=2,
+    )
+    assert proba.shape == (len(clips), le.n_classes)
+    np.testing.assert_allclose(proba.sum(-1), 1.0, atol=1e-5)
+    assert (pred == y).mean() > 0.7
