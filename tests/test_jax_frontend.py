@@ -80,6 +80,36 @@ def test_masked_median_matches_numpy(rng):
         np.testing.assert_allclose(got[b], np.median(x[b][mask[b]]), rtol=1e-6)
 
 
+def test_masked_median_adversarial_rows(rng):
+    """Radix-select edge cases: ties, negatives, infs, single/empty masks."""
+    rows = [
+        np.full(33, 3.25, np.float32),                       # all equal (ties)
+        np.array([-5.0, -1.0, 0.0, 1.0, 5.0] + [9.9] * 28, np.float32),
+        np.concatenate([[np.inf, -np.inf], rng.randn(31)]).astype(np.float32),
+        rng.randn(33).astype(np.float32),                    # single valid entry
+        rng.randn(33).astype(np.float32),                    # empty mask -> 0.0
+        np.concatenate([[-0.0, 0.0], rng.randn(31)]).astype(np.float32),
+        (rng.randn(33) * 1e-30).astype(np.float32),          # tiny normal range
+        # (true subnormals are flushed by XLA's FTZ in the final 0.5*(lo+hi);
+        # piptrack magnitudes are gated powers and can never be subnormal)
+    ]
+    masks = [
+        np.ones(33, bool),
+        np.array([True] * 5 + [False] * 28),
+        np.ones(33, bool),
+        np.eye(33, dtype=bool)[7],
+        np.zeros(33, bool),
+        np.ones(33, bool),
+        np.ones(33, bool),
+    ]
+    x = np.stack(rows)
+    m = np.stack(masks)
+    got = np.asarray(masked_median(jnp.asarray(x), jnp.asarray(m)))
+    for b in range(len(rows)):
+        want = np.median(x[b][m[b]]) if m[b].any() else 0.0
+        np.testing.assert_allclose(got[b], want, rtol=1e-6, err_msg=f"row {b}")
+
+
 def test_tuning_bin_matches_oracle(golden_subset):
     from stutter_tpu.ops.chroma import estimate_tuning_bin
 
