@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     add_root(p)
     p.add_argument("file")
     p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--arch", default="mlp", choices=["mlp", "cnn", "cnn_bilstm"],
+                   help="serving head: the feature-MLP (reference-style) or a "
+                        "trained sequence model (train-seq artifacts)")
     p = sub.add_parser("stream", help="windowed streaming inference over a long file")
     add_root(p)
     p.add_argument("file")
@@ -128,9 +131,13 @@ def main(argv: list[str] | None = None) -> int:
             f'[{res["elapsed_s"]:.0f}s]'
         )
     elif args.cmd == "predict":
-        from stutter_tpu.infer import Predictor
+        from stutter_tpu.infer import Predictor, SeqPredictor
 
-        pred = Predictor.load(os.path.join(args.root, cfg.data.output_dir), cfg)
+        out_dir = os.path.join(args.root, cfg.data.output_dir)
+        if args.arch == "mlp":
+            pred = Predictor.load(out_dir, cfg)
+        else:
+            pred = SeqPredictor.load(out_dir, args.arch, cfg)
         pred.denoise_first = not args.no_denoise
         print(json.dumps(pred.predict_file(args.file), indent=2))
     elif args.cmd == "stream":

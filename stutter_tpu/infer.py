@@ -95,6 +95,8 @@ class Predictor:
     # Streaming windowed inference (BASELINE.json config #5)
     # ------------------------------------------------------------------
 
+    # (SeqPredictor for the sequence heads lives below this class.)
+
     def predict_stream(
         self,
         y: np.ndarray,
@@ -165,3 +167,83 @@ class Predictor:
         for item in pending:
             flush(*item)
         return results
+
+
+@dataclasses.dataclass
+class SeqPredictor:
+    """Serving wrapper for a trained sequence head (CNN / CNN-BiLSTM).
+
+    Loads the artifacts run_seq persists (model_<arch>.npz + _norm.npz +
+    .json, train/seq_pipeline.py) and runs the same denoise -> featurize ->
+    standardize -> predict path the trainer used, so the framework's BEST
+    model (the log-mel CNN) is servable, not just the feature-MLP that
+    mirrors the reference's RF endpoint (ref main1.py:952-999).
+    """
+
+    arch: str
+    kind: str
+    params: dict
+    mean: np.ndarray
+    std: np.ndarray
+    classes_: list[str]
+    cfg: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    denoise_first: bool = True
+
+    @classmethod
+    def load(
+        cls, output_dir: str, arch: str = "cnn", cfg: PipelineConfig = PipelineConfig()
+    ) -> "SeqPredictor":
+        import json
+
+        import jax.numpy as jnp
+
+        from stutter_tpu.persist import _unflatten_params
+
+        meta = json.loads(
+            Path(output_dir, f"model_{arch}.json").read_text()
+        )
+        flat = dict(np.load(os.path.join(output_dir, f"model_{arch}.npz")))
+        params = {
+            k: jnp.asarray(v) for k, v in _unflatten_params(flat).items()
+        }
+        norm = np.load(os.path.join(output_dir, f"model_{arch}_norm.npz"))
+        return cls(
+            arch=arch,
+            kind=meta["kind"],
+            params=params,
+            mean=norm["mean"],
+            std=norm["std"],
+            classes_=list(meta["classes"]),
+            cfg=cfg,
+        )
+
+    def predict_clip(
+        self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None
+    ) -> dict:
+        """One clip -> {label, proba: {class: p}} via the sequence head."""
+        from stutter_tpu.train.seq_pipeline import ARCHS
+        from stutter_tpu.train.seq_trainer import (
+            predict_sequence_model,
+            prepare_sequence_dataset,
+        )
+
+        if self.denoise_first if denoise is None else denoise:
+            y = denoise_clips([y], self.cfg.denoise)[0]
+        X, nv = prepare_sequence_dataset([y], kind=self.kind)
+        mask = (np.arange(X.shape[1])[None, :] < nv[:, None])[..., None]
+        Xs = ((X - self.mean) / self.std * mask).astype(np.float32)
+        proba = predict_sequence_model(
+            ARCHS[self.arch]["apply_fn"], self.params, Xs, nv
+        )[0]
+        pred = int(np.argmax(proba))
+        return {
+            "label": self.classes_[pred],
+            "proba": {c: float(p) for c, p in zip(self.classes_, proba)},
+        }
+
+    def predict_file(self, path: str, denoise: bool | None = None, decoder=None) -> dict:
+        from stutter_tpu.io.decode import decode_audio
+
+        sr = self.cfg.features.frontend.sample_rate
+        y = decode_audio(path, sr, decoder=decoder)
+        return self.predict_clip(y, sr, denoise=denoise)

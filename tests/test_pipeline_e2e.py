@@ -105,6 +105,23 @@ def test_run_seq_on_synthetic(workspace, cfg):
     assert os.path.exists(os.path.join(workspace, "output_results", "model_cnn.npz"))
 
 
+def test_seq_predictor_serves_cnn(workspace, cfg):
+    """SeqPredictor loads run_seq artifacts and classifies clips correctly."""
+    import numpy as np
+
+    from stutter_tpu.infer import SeqPredictor
+
+    pred = SeqPredictor.load(os.path.join(workspace, "output_results"), "cnn", cfg)
+    assert pred.kind == "logmel" and len(pred.classes_) == 2
+    sr = 16000
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * np.arange(16000) / sr)).astype(np.float32)
+    noise = (np.random.RandomState(3).randn(16000) * 0.2).astype(np.float32)
+    r_tone = pred.predict_clip(tone, sr, denoise=False)
+    r_noise = pred.predict_clip(noise, sr, denoise=False)
+    assert set(r_tone["proba"]) == set(pred.classes_)
+    assert r_tone["label"] == "tonal" and r_noise["label"] == "noisy"
+
+
 def test_cross_validate_seq_seed_vote(workspace, cfg):
     """n_seeds soft-vote: runs multiple seeds per fold, probas stay normalized."""
     import numpy as np
