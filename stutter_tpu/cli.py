@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address (0.0.0.0 to expose externally)")
+    p.add_argument("--seq-arch", action="append", default=[],
+                   choices=["cnn", "cnn_bilstm"],
+                   help="also serve this trained sequence head "
+                        "(POST /predict?model=<arch>); repeatable")
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -152,7 +156,7 @@ def main(argv: list[str] | None = None) -> int:
         from stutter_tpu.serve import serve
 
         httpd = serve(os.path.join(args.root, cfg.data.output_dir), cfg, args.port,
-                      host=args.host)
+                      host=args.host, seq_arches=tuple(args.seq_arch))
         print(f"serving on {args.host}:{args.port} (POST /predict, /stream; GET /healthz)")
         httpd.serve_forever()
     elif args.cmd == "bench":

@@ -6,6 +6,7 @@ over the Predictor:
 
   POST /predict            body: WAV bytes -> {"label": ..., "proba": {...}}
   POST /predict?denoise=0  skip the spectral gate
+  POST /predict?model=cnn  route to a loaded sequence head (serve --seq-arch)
   POST /stream?window=3&hop=1   long WAV -> [{start_s, end_s, label, proba}]
   GET  /healthz            liveness + model metadata
 
@@ -46,8 +47,13 @@ MAX_UPLOAD_BYTES = 100 * 1024 * 1024  # reject oversized uploads before reading
 # (the reference's Streamlit uploader caps at 200 MB by default)
 
 
-def make_handler(predictor: Predictor, max_upload_bytes: int = MAX_UPLOAD_BYTES):
+def make_handler(
+    predictor: Predictor,
+    max_upload_bytes: int = MAX_UPLOAD_BYTES,
+    seq_predictors: dict | None = None,
+):
     sr = predictor.cfg.features.frontend.sample_rate
+    models = {"mlp": predictor, **(seq_predictors or {})}
     lock = threading.Lock()  # predictor dispatch is not re-entrant by contract
 
     class Handler(BaseHTTPRequestHandler):
@@ -70,6 +76,7 @@ def make_handler(predictor: Predictor, max_upload_bytes: int = MAX_UPLOAD_BYTES)
                         "status": "ok",
                         "classes": predictor.label_encoder.classes_,
                         "n_features": predictor.scaler.n_features_in_,
+                        "models": sorted(models),
                     },
                 )
             else:
@@ -92,11 +99,18 @@ def make_handler(predictor: Predictor, max_upload_bytes: int = MAX_UPLOAD_BYTES)
             except Exception as e:  # noqa: BLE001
                 self._send(400, {"error": f"bad audio: {e}"})
                 return
+            model = q.get("model", ["mlp"])[0]
+            if model not in models:
+                self._send(400, {"error": f"unknown model {model!r}; have {sorted(models)}"})
+                return
+            if parsed.path == "/stream" and model != "mlp":
+                self._send(400, {"error": "stream supports only model=mlp"})
+                return
             try:
                 with lock:
                     if parsed.path == "/predict":
                         # per-request flag: never mutate the shared Predictor
-                        out = predictor.predict_clip(
+                        out = models[model].predict_clip(
                             y, sr, denoise=q.get("denoise", ["1"])[0] != "0"
                         )
                     elif parsed.path == "/stream":
@@ -118,13 +132,20 @@ def make_handler(predictor: Predictor, max_upload_bytes: int = MAX_UPLOAD_BYTES)
 
 
 def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
-          host: str = "127.0.0.1"):
+          host: str = "127.0.0.1", seq_arches: tuple = ()):
     """Build the HTTP server (bind localhost by default; pass host='0.0.0.0'
-    to expose it like the reference's Streamlit port does)."""
+    to expose it like the reference's Streamlit port does).  seq_arches
+    additionally loads trained sequence heads ('cnn' / 'cnn_bilstm',
+    train-seq artifacts) served via POST /predict?model=<arch>."""
     from stutter_tpu.config import PipelineConfig
+    from stutter_tpu.infer import SeqPredictor
 
-    predictor = Predictor.load(output_dir, cfg or PipelineConfig())
+    cfg = cfg or PipelineConfig()
+    predictor = Predictor.load(output_dir, cfg)
+    seq = {a: SeqPredictor.load(output_dir, a, cfg) for a in seq_arches}
     if warmup:
         predictor.warmup()
-    httpd = ThreadingHTTPServer((host, port), make_handler(predictor))
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(predictor, seq_predictors=seq)
+    )
     return httpd  # caller runs httpd.serve_forever()

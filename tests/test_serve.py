@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -92,7 +93,7 @@ def test_concurrent_predict_and_stream(server, rng):
     def post(name, path, data):
         try:
             req = urllib.request.Request(server + path, data=data, method="POST")
-            results[name] = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            results[name] = json.loads(urllib.request.urlopen(req, timeout=420).read())
         except Exception as e:  # noqa: BLE001
             errors.append((name, e))
 
@@ -112,3 +113,67 @@ def test_concurrent_predict_and_stream(server, rng):
     assert results["s0"] == results["s1"] == results["s2"]
     assert len(results["s0"]) >= 3  # several stream windows
     assert all(w["label"] in {"neg", "pos"} for w in results["s0"])
+
+
+def test_predict_model_routing(server, rng):
+    """model=<unknown> is rejected; stream only supports the mlp model."""
+    data = _wav_bytes((rng.randn(16000) * 0.2).astype(np.float32))
+    req = urllib.request.Request(server + "/predict?model=nope", data=data, method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    req = urllib.request.Request(
+        server + "/stream?model=cnn", data=data, method="POST"
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_predict_seq_model_route(tmp_path, rng):
+    """A loaded SeqPredictor is reachable via /predict?model=<arch>."""
+    import os
+    import threading
+
+    from stutter_tpu.infer import SeqPredictor
+    from stutter_tpu.models.cnn import init_cnn
+
+    import jax
+
+    params = init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=2)
+    seq = SeqPredictor(
+        arch="cnn", kind="logmel", params=params,
+        mean=np.zeros(128, np.float32), std=np.ones(128, np.float32),
+        classes_=["neg", "pos"], cfg=PipelineConfig(), denoise_first=False,
+    )
+    X = rng.randn(60, 149).astype(np.float32)
+    y = rng.randint(0, 2, 60)
+    pred = Predictor(
+        scaler=StandardScaler.fit(X),
+        label_encoder=LabelEncoder(classes_=["neg", "pos"]),
+        model=fit_mlp(X, y, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1, n_classes=2)),
+        cfg=PipelineConfig(),
+        denoise_first=False,
+    )
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(pred, seq_predictors={"cnn": seq})
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        h = json.loads(urllib.request.urlopen(base + "/healthz").read())
+        assert h["models"] == ["cnn", "mlp"]
+        data = _wav_bytes((rng.randn(16000) * 0.2).astype(np.float32))
+        req = urllib.request.Request(
+            base + "/predict?model=cnn&denoise=0", data=data, method="POST"
+        )
+        r = json.loads(urllib.request.urlopen(req).read())
+        assert r["label"] in {"neg", "pos"}
+        assert abs(sum(r["proba"].values()) - 1) < 1e-5
+    finally:
+        httpd.shutdown()
