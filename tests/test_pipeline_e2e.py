@@ -105,6 +105,27 @@ def test_run_seq_on_synthetic(workspace, cfg):
     assert os.path.exists(os.path.join(workspace, "output_results", "model_cnn.npz"))
 
 
+def test_run_cv_seq_and_weighted_vote(workspace, cfg):
+    """run_cv --seq trains the sequence heads AND the nested weighted vote;
+    the ensemble row + weights artifact appear in the output."""
+    import json
+
+    from stutter_tpu.config import PipelineConfig, TrainConfig
+    from stutter_tpu.pipeline import run_cv
+
+    cfg2 = PipelineConfig(train=TrainConfig(n_folds=2))
+    res = run_cv(workspace, cfg2, include_host=False, include_seq=True,
+                 seq_epochs=8)
+    names = [r["Model"] for r in res["final_rows"]]
+    assert "CNN-TPU" in names and "Weighted-Vote-TPU" in names
+    vote = next(r for r in res["final_rows"] if r["Model"] == "Weighted-Vote-TPU")
+    assert vote["Accuracy (%)"] > 60  # tones vs noise is trivially separable
+    wpath = os.path.join(workspace, "output_results", "ensemble_weights.json")
+    weights = json.load(open(wpath))
+    assert len(weights) == 2  # one weight dict per fold
+    assert all(abs(sum(w.values()) - 1.0) < 1e-6 for w in weights)
+
+
 def test_seq_predictor_serves_cnn(workspace, cfg):
     """SeqPredictor loads run_seq artifacts and classifies clips correctly."""
     import numpy as np
