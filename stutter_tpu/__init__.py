@@ -28,6 +28,9 @@ _LAZY = {
     "denoise_clips": ("stutter_tpu.denoise", "denoise_clips"),
     "denoise_batch": ("stutter_tpu.denoise", "denoise_batch"),
     "Predictor": ("stutter_tpu.infer", "Predictor"),
+    "SeqPredictor": ("stutter_tpu.infer", "SeqPredictor"),
+    "cross_validate_seq": ("stutter_tpu.train.seq_pipeline", "cross_validate_seq"),
+    "nested_weighted_vote": ("stutter_tpu.train.ensemble", "nested_weighted_vote"),
     "run_cv": ("stutter_tpu.pipeline", "run_cv"),
     "run_before_after": ("stutter_tpu.pipeline", "run_before_after"),
     "preprocess": ("stutter_tpu.pipeline", "preprocess"),
