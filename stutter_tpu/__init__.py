@@ -11,9 +11,10 @@ Public surface (lazily imported; `import stutter_tpu as st`):
   st.PipelineConfig, st.FEATURES_149, st.FEATURES_334   configuration
   st.extract_features_149_batch / _numpy                 the TPU front end
   st.denoise_clips / st.denoise_batch                    spectral gate
-  st.Predictor                                           serving
+  st.Predictor / st.SeqPredictor                         serving
   st.run_cv / st.run_before_after / st.preprocess        pipeline drivers
   st.fit_mlp / st.cross_validate_mlp                     training engine
+  st.cross_validate_seq / st.nested_weighted_vote        seq heads + stacking
 """
 
 __version__ = "0.1.0"
