@@ -30,6 +30,10 @@ def main(argv: list[str] | None = None) -> int:
     def add_root(p):
         p.add_argument("--root", default=".", help="workspace with segrigated_samples/ etc.")
         p.add_argument("--variant", default="149", choices=["149", "334"])
+        p.add_argument("--prop-decrease", type=float, default=None,
+                       help="spectral-gate attenuation fraction: 1.0 = the "
+                            "pipeline1 protocol (default), 0.8 = the main.py "
+                            "protocol (ref main.py:657)")
 
     p = sub.add_parser("preprocess", help="denoise corpus + per-file QC analysis")
     add_root(p)
@@ -86,8 +90,19 @@ def main(argv: list[str] | None = None) -> int:
     from stutter_tpu.config import FEATURES_149, FEATURES_334, PipelineConfig
 
     if args.cmd != "bench":
+        import dataclasses
+
+        from stutter_tpu.config import DenoiseConfig
+
         feats = FEATURES_334 if getattr(args, "variant", "149") == "334" else FEATURES_149
         cfg = PipelineConfig(features=feats)
+        if getattr(args, "prop_decrease", None) is not None:
+            cfg = dataclasses.replace(
+                cfg,
+                denoise=dataclasses.replace(
+                    cfg.denoise, prop_decrease=args.prop_decrease
+                ),
+            )
 
     if args.cmd == "preprocess":
         from stutter_tpu.pipeline import preprocess, setup_logging

@@ -34,7 +34,16 @@ from stutter_tpu.ops.spectral import (
 DEFAULT_BUCKETS = (24576, 49152, 98304, 163840)
 
 
-def spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma=12):
+def _use_pallas(pallas: bool | None) -> bool:
+    """Kernel-path gate: None = auto (TPU only); True/False force (True on a
+    CPU backend requires interpret=True at the call site)."""
+    if pallas is not None:
+        return pallas
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma=12,
+                 pallas=None, interpret=False):
     """(masked power [B,T,K], mask [B,T], log-mel dB [B,T,M], tuning bin [B]
     or None) for the batch.
 
@@ -45,12 +54,13 @@ def spect_mel_db(audio, lengths, sr, n_fft, hop_length, n_mels, n_chroma=12):
     ops.chroma.estimate_tuning_bin).  The 149-dim TPU path bypasses this
     entirely (extract_features_149_batch uses the kernel's with_stats mode);
     this entry remains for the 334-variant and mel consumers."""
-    if jax.default_backend() not in ("cpu", "gpu"):
+    if _use_pallas(pallas):
         from stutter_tpu.ops.pallas_spectromel import spectromel_pallas
 
         power, mel, tb = spectromel_pallas(
             audio, lengths, sr=sr, n_fft=n_fft, hop_length=hop_length,
             n_mels=n_mels, n_chroma=n_chroma, with_tuning=True,
+            interpret=interpret,
         )
         mask = frame_mask(lengths, hop_length, power.shape[1])
         return power, mask, db_from_mel(mel, mask), tb
@@ -68,7 +78,10 @@ def _stat_pair(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("sr", "n_fft", "hop_length", "n_mels", "n_mfcc", "n_chroma"),
+    static_argnames=(
+        "sr", "n_fft", "hop_length", "n_mels", "n_mfcc", "n_chroma",
+        "pallas", "interpret",
+    ),
 )
 def extract_features_149_batch(
     audio: jnp.ndarray,
@@ -79,6 +92,8 @@ def extract_features_149_batch(
     n_mels: int = 128,
     n_mfcc: int = 20,
     n_chroma: int = 12,
+    pallas: bool | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """audio [B, N] (zero-padded, N multiple of hop), lengths [B] -> [B, 149].
 
@@ -86,9 +101,14 @@ def extract_features_149_batch(
     corpus, SURVEY.md C6); callers with transcripts overwrite dims 144:149.
     Clips with fewer than 9 valid frames (< 0.26 s) return all-zero vectors,
     matching the reference's exception path (pipeline1.py:237-239).
+
+    `pallas`/`interpret` select the fused-kernel path explicitly (None = auto
+    by backend); pallas=True + interpret=True runs the kernel in interpreter
+    mode so multi-chip sharding of the FUSED path is testable on the CPU
+    device fixture.
     """
     n_valid = 1 + lengths // hop_length
-    if jax.default_backend() not in ("cpu", "gpu"):
+    if _use_pallas(pallas):
         # Fully-fused TPU path: one Pallas kernel emits the masked power
         # spectrogram, the complete MFCC/delta statistics (db -> DCT ->
         # SavGol deltas -> masked mean/std, all in VMEM), and the compacted
@@ -98,7 +118,7 @@ def extract_features_149_batch(
         power, stats, tb = spectromel_pallas(
             audio, lengths, sr=sr, n_fft=n_fft, hop_length=hop_length,
             n_mels=n_mels, n_mfcc=n_mfcc, n_chroma=n_chroma,
-            with_tuning=True, with_stats=True,
+            with_tuning=True, with_stats=True, interpret=interpret,
         )
         mask = frame_mask(lengths, hop_length, power.shape[1])
         mfcc_stats = stats.reshape(audio.shape[0], 6 * n_mfcc)
@@ -137,6 +157,40 @@ def pad_to_bucket(n: int, buckets=DEFAULT_BUCKETS, hop: int = 512) -> int:
     return buckets[-1]
 
 
+# shard_map-wrapped batch extractors, cached so jit tracing is reused across
+# calls (keyed on the underlying function + bound keywords + device count).
+_SHARDED_FNS: dict = {}
+
+
+def sharded_batch_fn(batch_fn, n_dev: int):
+    """Wrap `batch_fn(audio [B,N], lengths [B]) -> [B,D]` in shard_map over a
+    1-D `data` mesh of n_dev devices, so each device runs its OWN instance of
+    the computation on its batch shard — including `pallas_call`s, which GSPMD
+    cannot partition inside a plain jit (a custom call has no partitioning
+    rule; XLA would replicate or gather instead of running one kernel per
+    chip).  Per-clip independence means no collectives are needed
+    (SURVEY.md §2.3)."""
+    key = (
+        getattr(batch_fn, "func", batch_fn),
+        tuple(sorted(getattr(batch_fn, "keywords", {}).items())),
+        n_dev,
+    )
+    fn = _SHARDED_FNS.get(key)
+    if fn is None:
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+        fn = jax.jit(
+            jax.shard_map(
+                batch_fn, mesh=mesh,
+                in_specs=(P("data"), P("data")), out_specs=P("data"),
+                check_vma=False,
+            )
+        )
+        _SHARDED_FNS[key] = fn
+    return fn
+
+
 def run_bucketed(
     clips: list[np.ndarray],
     batch_fn,
@@ -163,16 +217,14 @@ def run_bucketed(
                 y = clips[i][:bucket]
                 batch[j, : len(y)] = y
                 lens[j] = len(y)
-            a, l = jnp.asarray(batch), jnp.asarray(lens)
             if n_dev > 1:
-                # data-parallel extraction: clips shard over the device mesh,
-                # no collectives needed (per-clip independence, SURVEY.md §2.3)
-                from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-                mesh = Mesh(np.array(jax.devices()), ("data",))
-                a = jax.device_put(a, NamedSharding(mesh, P("data", None)))
-                l = jax.device_put(l, NamedSharding(mesh, P("data")))
-            feats = batch_fn(a, l)
+                # data-parallel extraction via shard_map: each chip runs its
+                # own kernel instance on its clip shard (no collectives);
+                # numpy operands let jit place each shard on its device
+                # directly instead of staging through device 0
+                feats = sharded_batch_fn(batch_fn, n_dev)(batch, lens)
+            else:
+                feats = batch_fn(jnp.asarray(batch), jnp.asarray(lens))
             out[chunk] = np.asarray(feats)[: len(chunk)]
     return out
 

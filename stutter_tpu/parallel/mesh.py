@@ -46,12 +46,24 @@ def replicate(mesh: Mesh, tree):
 
 
 def extract_features_sharded(mesh: Mesh, audio: np.ndarray, lengths: np.ndarray, **kw):
-    """Data-parallel 149-dim extraction: batch shards over chips, no
-    collectives needed (per-clip independence). Batch must divide the mesh."""
+    """Data-parallel 149-dim extraction via shard_map: each chip runs its OWN
+    instance of the frontend — including the fused Pallas kernel, which GSPMD
+    cannot partition inside a plain jit — on its batch shard.  No collectives
+    needed (per-clip independence).  Batch must divide the mesh.
+
+    kw passes through to extract_features_149_batch; pallas=True with
+    interpret=True exercises the fused kernel path on the CPU device fixture
+    (tests/test_parallel.py, __graft_entry__.dryrun_multichip)."""
     from stutter_tpu.ops.frontend import extract_features_149_batch
 
-    a, l = shard_batch(mesh, jnp.asarray(audio), jnp.asarray(lengths))
-    return extract_features_149_batch(a, l, **kw)
+    fn = partial(extract_features_149_batch, **kw)
+    sharded = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False,
+        )
+    )
+    return sharded(np.asarray(audio), np.asarray(lengths))
 
 
 def make_dp_train_step(mesh: Mesh, opt, n_classes: int = 3, label_smoothing: float = 0.05):

@@ -61,6 +61,28 @@ def _load_clip(path: str, sr: int, decoder=None) -> np.ndarray | None:
         return None
 
 
+def _denoise_with_fallback(
+    clips: list[np.ndarray], cfg: DenoiseConfig
+) -> list[np.ndarray | None]:
+    """Denoise a batch; on failure retry PER CLIP so one poison clip degrades
+    only itself to raw audio, not its whole bucket (ref main.py:662-663 falls
+    back per file).  Failed entries are returned as None."""
+    try:
+        return list(denoise_clips(clips, cfg))
+    except Exception as batch_err:  # noqa: BLE001
+        log.error(
+            "batch denoise failed (%s); retrying per clip", batch_err
+        )
+    out: list[np.ndarray | None] = []
+    for i, y in enumerate(clips):
+        try:
+            out.append(denoise_clips([y], cfg)[0])
+        except Exception as e:  # noqa: BLE001
+            log.error("denoise failed for clip %d (%s); falling back to raw", i, e)
+            out.append(None)
+    return out
+
+
 def preprocess(
     root: str = ".", cfg: PipelineConfig = PipelineConfig(), decoder=None
 ) -> list[dict]:
@@ -122,15 +144,11 @@ def preprocess(
             to_denoise.append(y)
     if to_denoise:
         with timer.stage("denoise"):
-            try:
-                denoised = denoise_clips(to_denoise, cfg.denoise)
-            except Exception as e:  # noqa: BLE001
-                # degrade to the raw audio (ref: main.py:662-663)
-                log.error("denoise failed (%s); falling back to raw audio", e)
-                denoised = None
+            denoised = _denoise_with_fallback(to_denoise, cfg.denoise)
         for j, i in enumerate(to_denoise_idx):
             f, _, y = pending[i]
-            if denoised is None:
+            if denoised[j] is None:
+                # per-file degrade to the raw audio (ref: main.py:662-663)
                 cleaned_clips[i] = y
                 continue
             out_path = os.path.join(clear_dir, Path(f).stem + ".wav")

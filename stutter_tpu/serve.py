@@ -54,7 +54,12 @@ def make_handler(
 ):
     sr = predictor.cfg.features.frontend.sample_rate
     models = {"mlp": predictor, **(seq_predictors or {})}
-    lock = threading.Lock()  # predictor dispatch is not re-entrant by contract
+    # Per-model locks + a dedicated /stream lock: an in-flight multi-second
+    # /stream must not block sub-ms /predict requests (they share no mutable
+    # state — predictors are pure functional pipelines — so serializing per
+    # model is only about bounding device-queue contention).
+    locks = {name: threading.Lock() for name in models}
+    stream_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict | list):
@@ -107,22 +112,23 @@ def make_handler(
                 self._send(400, {"error": "stream supports only model=mlp"})
                 return
             try:
-                with lock:
-                    if parsed.path == "/predict":
+                if parsed.path == "/predict":
+                    with locks[model]:
                         # per-request flag: never mutate the shared Predictor
                         out = models[model].predict_clip(
                             y, sr, denoise=q.get("denoise", ["1"])[0] != "0"
                         )
-                    elif parsed.path == "/stream":
+                elif parsed.path == "/stream":
+                    with stream_lock:
                         out = predictor.predict_stream(
                             y,
                             sr,
                             window_s=float(q.get("window", ["3.0"])[0]),
                             hop_s=float(q.get("hop", ["1.0"])[0]),
                         )
-                    else:
-                        self._send(404, {"error": "not found"})
-                        return
+                else:
+                    self._send(404, {"error": "not found"})
+                    return
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
                 return

