@@ -50,6 +50,53 @@ def measure_tpu(batch: int = 256, n_samples: int = 49152, iters: int = 30) -> fl
     return batch / dt
 
 
+def measure_denoise_tpu(batch: int = 64, n_samples: int = 49152, iters: int = 15) -> float:
+    """Batched spectral-gate denoise throughput (the reference's hot loop #1,
+    ref pipeline1.py:371-424 via nr.reduce_noise at :140)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stutter_tpu.config import DenoiseConfig
+    from stutter_tpu.denoise import denoise_batch
+
+    cfg = DenoiseConfig()
+
+    @jax.jit
+    def step(a, l):
+        # scalar output: per-dispatch cost over tunneled backends scales with
+        # output size, so reduce before timing
+        return denoise_batch(a, l, cfg).sum()
+
+    rng = np.random.RandomState(0)
+    bufs = [
+        jnp.asarray((rng.randn(batch, n_samples) * 0.1).astype(np.float32))
+        for _ in range(2)
+    ]
+    lengths = jnp.asarray(np.full(batch, 48000, np.int32))
+    float(step(bufs[0], lengths))  # compile + warm
+    t0 = time.time()
+    r = None
+    for i in range(iters):
+        r = step(bufs[i % 2], lengths)
+    float(r)
+    dt = (time.time() - t0) / iters
+    return batch / dt
+
+
+def measure_denoise_cpu(n_clips: int = 3) -> float:
+    """Single-threaded CPU reference path: per-clip oracle spectral gate."""
+    from stutter_tpu.oracle.denoise import denoise_clip
+
+    rng = np.random.RandomState(0)
+    clips = [(rng.randn(48000) * 0.1).astype(np.float32) for _ in range(n_clips)]
+    denoise_clip(clips[0])  # warm filterbank caches
+    t0 = time.time()
+    for y in clips:
+        denoise_clip(y)
+    dt = (time.time() - t0) / n_clips
+    return 1.0 / dt
+
+
 def measure_cpu(n_clips: int = 12) -> float:
     """Single-threaded CPU reference path: per-clip oracle feats + classify."""
     from stutter_tpu.oracle import frontend as OF
@@ -73,6 +120,8 @@ def measure_cpu(n_clips: int = 12) -> float:
 def main() -> int:
     cpu_rate = measure_cpu()
     tpu_rate = measure_tpu()
+    den_cpu = measure_denoise_cpu()
+    den_tpu = measure_denoise_tpu()
     print(
         json.dumps(
             {
@@ -80,6 +129,8 @@ def main() -> int:
                 "value": round(tpu_rate, 1),
                 "unit": "clips/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 1),
+                "denoise_clips_per_s": round(den_tpu, 1),
+                "denoise_vs_baseline": round(den_tpu / den_cpu, 1),
             }
         )
     )

@@ -77,6 +77,15 @@ def decode_audio(path: str, sr: int, decoder: Decoder | None = None) -> np.ndarr
         return np.asarray(y, np.float32)
     except Exception:
         hook = get_decoder(path)
-        if hook is None:
-            raise
-        return np.asarray(hook(path, sr), np.float32)
+        if hook is not None:
+            return np.asarray(hook(path, sr), np.float32)
+        # built-in MPEG fallback: libmpg123 over ctypes where the shared
+        # library exists (stutter_tpu.io.mp3) — the reference's mp3 ingestion
+        # (pipeline1.py:100-106) without an audio-stack dependency
+        if os.path.splitext(path)[1].lower() == ".mp3":
+            from stutter_tpu.io import mp3
+
+            if mp3.available():
+                y, _ = mp3.load_mp3(path, sr)
+                return y
+        raise

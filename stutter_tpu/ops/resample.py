@@ -84,8 +84,25 @@ def resample_batch(
     return jnp.einsum("bnt,nt->bn", gathered, taps, precision=jax.lax.Precision.HIGHEST)
 
 
+RESAMPLE_BUCKET = 16384  # input lengths pad to this multiple -> bounded jits
+
+
 def resample(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Host convenience: 1-D clip -> resampled 1-D clip."""
-    n_out = int(math.ceil(len(y) * sr_out / sr_in))
-    out = resample_batch(jnp.asarray(y, jnp.float32)[None, :], sr_in, sr_out, n_out)
-    return np.asarray(out)[0]
+    """Host convenience: 1-D clip -> resampled 1-D clip.
+
+    The input is zero-padded to a RESAMPLE_BUCKET multiple so arbitrary clip
+    lengths reuse a bounded set of compiled shapes (one jit per bucket, not
+    one per length).  Bitwise identical to the exact-length computation: the
+    kernel zero-masks out-of-range taps, so reading literal zero padding
+    produces the same samples, and the exact output length is sliced out.
+    """
+    n = len(y)
+    n_out = int(math.ceil(n * sr_out / sr_in))
+    n_pad = -(-max(n, 1) // RESAMPLE_BUCKET) * RESAMPLE_BUCKET
+    buf = np.zeros(n_pad, np.float32)
+    buf[:n] = y
+    out = resample_batch(
+        jnp.asarray(buf)[None, :], sr_in, sr_out,
+        int(math.ceil(n_pad * sr_out / sr_in)),
+    )
+    return np.asarray(out)[0, :n_out]
