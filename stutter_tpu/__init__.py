@@ -11,7 +11,7 @@ Public surface (lazily imported; `import stutter_tpu as st`):
   st.PipelineConfig, st.FEATURES_149, st.FEATURES_334   configuration
   st.extract_features_149_batch / _numpy                 the TPU front end
   st.denoise_clips / st.denoise_batch                    spectral gate
-  st.Predictor / st.SeqPredictor                         serving
+  st.Predictor / st.SeqPredictor / st.EnsemblePredictor  serving
   st.run_cv / st.run_before_after / st.preprocess        pipeline drivers
   st.fit_mlp / st.cross_validate_mlp                     training engine
   st.cross_validate_seq / st.nested_weighted_vote        seq heads + stacking
@@ -30,6 +30,7 @@ _LAZY = {
     "denoise_batch": ("stutter_tpu.denoise", "denoise_batch"),
     "Predictor": ("stutter_tpu.infer", "Predictor"),
     "SeqPredictor": ("stutter_tpu.infer", "SeqPredictor"),
+    "EnsemblePredictor": ("stutter_tpu.infer", "EnsemblePredictor"),
     "cross_validate_seq": ("stutter_tpu.train.seq_pipeline", "cross_validate_seq"),
     "nested_weighted_vote": ("stutter_tpu.train.ensemble", "nested_weighted_vote"),
     "run_cv": ("stutter_tpu.pipeline", "run_cv"),

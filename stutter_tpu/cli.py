@@ -66,9 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     add_root(p)
     p.add_argument("file")
     p.add_argument("--no-denoise", action="store_true")
-    p.add_argument("--arch", default="mlp", choices=["mlp", "cnn", "cnn_bilstm"],
-                   help="serving head: the feature-MLP (reference-style) or a "
-                        "trained sequence model (train-seq artifacts)")
+    p.add_argument("--arch", default="mlp",
+                   choices=["mlp", "cnn", "cnn_bilstm", "ensemble"],
+                   help="serving head: the feature-MLP (reference-style), a "
+                        "trained sequence model (train-seq artifacts), or the "
+                        "weighted-vote ensemble — the headline 74%%-CV model "
+                        "(train --seq artifacts)")
     p = sub.add_parser("stream", help="windowed streaming inference over a long file")
     add_root(p)
     p.add_argument("file")
@@ -83,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["cnn", "cnn_bilstm"],
                    help="also serve this trained sequence head "
                         "(POST /predict?model=<arch>); repeatable")
+    p.add_argument("--ensemble", action="store_true",
+                   help="also serve the weighted-vote ensemble — the headline "
+                        "74%%-CV model (POST /predict?model=ensemble; needs "
+                        "train --seq artifacts)")
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -159,11 +166,13 @@ def main(argv: list[str] | None = None) -> int:
             f'[{res["elapsed_s"]:.0f}s]'
         )
     elif args.cmd == "predict":
-        from stutter_tpu.infer import Predictor, SeqPredictor
+        from stutter_tpu.infer import EnsemblePredictor, Predictor, SeqPredictor
 
         out_dir = os.path.join(args.root, cfg.data.output_dir)
         if args.arch == "mlp":
             pred = Predictor.load(out_dir, cfg)
+        elif args.arch == "ensemble":
+            pred = EnsemblePredictor.load(out_dir, cfg)
         else:
             pred = SeqPredictor.load(out_dir, args.arch, cfg)
         pred.denoise_first = not args.no_denoise
@@ -180,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
         from stutter_tpu.serve import serve
 
         httpd = serve(os.path.join(args.root, cfg.data.output_dir), cfg, args.port,
-                      host=args.host, seq_arches=tuple(args.seq_arch))
+                      host=args.host, seq_arches=tuple(args.seq_arch),
+                      ensemble=args.ensemble)
         print(f"serving on {args.host}:{args.port} (POST /predict, /stream; GET /healthz)")
         httpd.serve_forever()
     elif args.cmd == "bench":

@@ -247,3 +247,78 @@ class SeqPredictor:
         sr = self.cfg.features.frontend.sample_rate
         y = decode_audio(path, sr, decoder=decoder)
         return self.predict_clip(y, sr, denoise=denoise)
+
+
+@dataclasses.dataclass
+class EnsemblePredictor:
+    """Serving wrapper for the nested weighted soft-vote — the framework's
+    HEADLINE model (74.0% 5-fold CV on the reference corpus vs 70.5 best
+    single member; train/ensemble.py).
+
+    Loads the artifacts run_cv(include_seq=True) persists: the production MLP
+    (model_mlp_tpu + scaler), the refit sequence heads (model_cnn*,
+    model_cnn_bilstm*), and ensemble.json (fold-averaged member weights).
+    Mirrors the reference's serve-the-production-model contract
+    (ref: main1.py:952-999) — the reference serves its single best pickled
+    model; ours serves its best model, which is a weighted vote.
+    """
+
+    members: dict  # name -> Predictor | SeqPredictor
+    weights: dict  # name -> float (sums to 1)
+    classes_: list[str]
+    cfg: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    denoise_first: bool = True
+
+    @classmethod
+    def load(
+        cls, output_dir: str, cfg: PipelineConfig = PipelineConfig()
+    ) -> "EnsemblePredictor":
+        import json
+
+        meta = json.loads(Path(output_dir, "ensemble.json").read_text())
+        members: dict = {}
+        for name, w in meta["weights"].items():
+            if name == "mlp":
+                members[name] = Predictor.load(output_dir, cfg)
+                classes = members[name].label_encoder.classes_
+            else:
+                members[name] = SeqPredictor.load(output_dir, name, cfg)
+                classes = members[name].classes_
+            if list(classes) != list(meta["classes"]):
+                raise ValueError(
+                    f"member {name!r} class order {classes} != ensemble "
+                    f"{meta['classes']}; retrain (stale artifacts)"
+                )
+        return cls(
+            members=members, weights=meta["weights"],
+            classes_=list(meta["classes"]), cfg=cfg,
+        )
+
+    def predict_clip(
+        self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None
+    ) -> dict:
+        """One clip -> {label, proba, members}: denoise ONCE, then each member
+        featurizes its own way and the weighted soft-vote combines them."""
+        if self.denoise_first if denoise is None else denoise:
+            y = denoise_clips([y], self.cfg.denoise)[0]
+        proba = np.zeros(len(self.classes_), np.float64)
+        member_out = {}
+        for name, member in self.members.items():
+            r = member.predict_clip(y, sr, denoise=False)
+            p = np.array([r["proba"][c] for c in self.classes_])
+            proba += self.weights[name] * p
+            member_out[name] = r["proba"]
+        proba /= max(proba.sum(), 1e-12)
+        pred = int(np.argmax(proba))
+        return {
+            "label": self.classes_[pred],
+            "proba": {c: float(p) for c, p in zip(self.classes_, proba)},
+            "members": member_out,
+        }
+
+    def predict_file(self, path: str, denoise: bool | None = None, decoder=None) -> dict:
+        from stutter_tpu.io.decode import decode_audio
+
+        sr = self.cfg.features.frontend.sample_rate
+        y = decode_audio(path, sr, decoder=decoder)
+        return self.predict_clip(y, sr, denoise=denoise)

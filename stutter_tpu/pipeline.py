@@ -577,6 +577,32 @@ def run_cv(
         log.info("weighted vote done in %.1fs: acc=%.1f%%", time.time() - t0,
                  final_rows[-1]["Accuracy (%)"])
 
+        # Make the headline model SERVABLE (the reference serves its
+        # production model, main1.py:952-999): refit each sequence member on
+        # ALL rows, persist the SeqPredictor artifact trio, and write the
+        # fold-averaged vote weights for EnsemblePredictor.
+        from stutter_tpu.train.seq_pipeline import fit_seq_head, persist_seq_head
+
+        t0 = time.time()
+        for arch in ("cnn", "cnn_bilstm"):
+            seq_tc = SeqTrainConfig(
+                epochs=seq_epochs, batch_size=64,
+                mixup_alpha=0.2 if arch == "cnn" else 0.0,
+            )
+            params_a, mean_a, std_a = fit_seq_head(
+                arch, clips, y_seq, len(class_names), seq_tc
+            )
+            persist_seq_head(out_dir, arch, params_a, mean_a, std_a, class_names)
+        avg_w = {
+            name: float(np.mean([w[name] for w in vote_weights]))
+            for name in vote_weights[0]
+        }
+        total_w = sum(avg_w.values()) or 1.0
+        avg_w = {k: v / total_w for k, v in avg_w.items()}
+        with open(os.path.join(out_dir, "ensemble.json"), "w") as f:
+            json.dump({"weights": avg_w, "classes": class_names}, f, indent=1)
+        log.info("ensemble members refit+persisted in %.1fs", time.time() - t0)
+
     evals.write_final_performance_csv(
         os.path.join(out_dir, "FINAL_PERFORMANCE_TABLE.csv"), final_rows
     )

@@ -138,20 +138,24 @@ def make_handler(
 
 
 def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
-          host: str = "127.0.0.1", seq_arches: tuple = ()):
+          host: str = "127.0.0.1", seq_arches: tuple = (), ensemble: bool = False):
     """Build the HTTP server (bind localhost by default; pass host='0.0.0.0'
     to expose it like the reference's Streamlit port does).  seq_arches
     additionally loads trained sequence heads ('cnn' / 'cnn_bilstm',
-    train-seq artifacts) served via POST /predict?model=<arch>."""
+    train-seq artifacts) served via POST /predict?model=<arch>;
+    ensemble=True loads the weighted-vote EnsemblePredictor (the headline
+    74%-CV model, run_cv --seq artifacts) at POST /predict?model=ensemble."""
     from stutter_tpu.config import PipelineConfig
-    from stutter_tpu.infer import SeqPredictor
+    from stutter_tpu.infer import EnsemblePredictor, SeqPredictor
 
     cfg = cfg or PipelineConfig()
     predictor = Predictor.load(output_dir, cfg)
-    seq = {a: SeqPredictor.load(output_dir, a, cfg) for a in seq_arches}
+    extra = {a: SeqPredictor.load(output_dir, a, cfg) for a in seq_arches}
+    if ensemble:
+        extra["ensemble"] = EnsemblePredictor.load(output_dir, cfg)
     if warmup:
         predictor.warmup()
     httpd = ThreadingHTTPServer(
-        (host, port), make_handler(predictor, seq_predictors=seq)
+        (host, port), make_handler(predictor, seq_predictors=extra)
     )
     return httpd  # caller runs httpd.serve_forever()

