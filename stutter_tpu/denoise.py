@@ -131,15 +131,31 @@ def _istft_ola(spec: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return total / jnp.asarray(denom)[None, :]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _use_pallas_gate(pallas: bool | None) -> bool:
+    if pallas is not None:
+        return pallas
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+@partial(jax.jit, static_argnames=("cfg", "pallas", "interpret"))
 def denoise_batch(
-    audio: jnp.ndarray, lengths: jnp.ndarray, cfg: DenoiseConfig = DenoiseConfig()
+    audio: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: DenoiseConfig = DenoiseConfig(),
+    pallas: bool | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """audio [B, N] (zero-padded), lengths [B] -> denoised, peak-normalized [B, N].
 
     Matches clean_audio_and_cache's compute (ref: pipeline1.py:126-146) minus
     the file I/O: spectral gate at cfg.prop_decrease, then peak normalization
     over each clip's valid samples.
+
+    On TPU (or with pallas=True) the whole gate runs in the fused VMEM kernel
+    (ops/pallas_denoise.py: chunk-DFT STFT + IIR + mask + iSTFT, 22 -> ~a few
+    ms/batch-64); elsewhere the XLA composition below.  `pallas`/`interpret`
+    mirror ops.frontend's kernel-path controls (interpret=True runs the
+    kernel on the CPU fixture for tests).
     """
     B, N = audio.shape
     hop, n_fft = cfg.hop_length, cfg.n_fft
@@ -148,23 +164,34 @@ def denoise_batch(
     buf_len = -(-(N + 2 * PAD) // hop) * hop
     x = jnp.pad(audio, ((0, 0), (PAD, buf_len - N - PAD)))
 
-    frames = frame(x, n_fft, hop)  # [B, T, n_fft], centered constant-pad
-    window = jnp.asarray(fb.hann(n_fft))
-    spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)  # [B, T, F]
-    mag = jnp.abs(spec)
+    if _use_pallas_gate(pallas):
+        from stutter_tpu.ops.pallas_denoise import spectral_gate_pallas
 
-    t_frames = cfg.time_constant_s * cfg.sample_rate / float(hop)
-    b = (np.sqrt(1 + 4 * t_frames**2) - 1) / (2 * t_frames**2)
-    smooth = _iir_smooth_bidirectional(mag, float(b))
+        chunks = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2))).reshape(
+            B, -1, hop
+        )
+        ola = spectral_gate_pallas(chunks, n_fft, hop, cfg, interpret=interpret)
+        y = ola.reshape(B, -1)
+    else:
+        frames = frame(x, n_fft, hop)  # [B, T, n_fft], centered constant-pad
+        window = jnp.asarray(fb.hann(n_fft))
+        spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)  # [B, T, F]
+        mag = jnp.abs(spec)
 
-    above = jnp.where(smooth > 0, (mag - smooth) / jnp.where(smooth > 0, smooth, 1.0), 0.0)
-    mask = jax.nn.sigmoid(
-        (above - cfg.thresh_n_mult_nonstationary) * cfg.sigmoid_slope_nonstationary
-    )
-    mask = _smooth_mask(mask, cfg)
-    mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+        t_frames = cfg.time_constant_s * cfg.sample_rate / float(hop)
+        b = (np.sqrt(1 + 4 * t_frames**2) - 1) / (2 * t_frames**2)
+        smooth = _iir_smooth_bidirectional(mag, float(b))
 
-    y = _istft_ola(spec * mask, n_fft, hop)
+        above = jnp.where(
+            smooth > 0, (mag - smooth) / jnp.where(smooth > 0, smooth, 1.0), 0.0
+        )
+        mask = jax.nn.sigmoid(
+            (above - cfg.thresh_n_mult_nonstationary) * cfg.sigmoid_slope_nonstationary
+        )
+        mask = _smooth_mask(mask, cfg)
+        mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+
+        y = _istft_ola(spec * mask, n_fft, hop)
     # OLA sample m corresponds to x[m - n_fft//2] (frame t is placed at t*hop
     # but covers x[t*hop - n_fft//2 : ...]); x[n] == clip sample n - PAD.
     y = y[:, n_fft // 2 + PAD : n_fft // 2 + PAD + N]
