@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(5 -> 71.6%% CV for the mixup CNN, at Nx train cost)")
     p.add_argument("--labels", default="folder", choices=["folder", "5class"],
                    help="label taxonomy: corpus folders or the 5-class dysfluency set")
+    p.add_argument("--ensemble-mlp", default="both", choices=["both", "clean"],
+                   help="feature set of the weighted-vote MLP member: "
+                        "raw+clean concat (74.4%% CV, default) or clean-only")
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
     p = sub.add_parser("train-seq", help="train a CNN / CNN-BiLSTM sequence head")
@@ -132,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         setup_logging(os.path.join(args.root, cfg.data.output_dir))
         res = run_cv(args.root, cfg, include_host=not args.no_host,
                      feature_set=args.features, include_seq=args.seq,
-                     labels_taxonomy=args.labels, seq_seeds=args.seq_seeds)
+                     labels_taxonomy=args.labels, seq_seeds=args.seq_seeds,
+                     ensemble_mlp=args.ensemble_mlp)
         for row in res["final_rows"]:
             print(
                 f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '

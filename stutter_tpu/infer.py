@@ -47,13 +47,17 @@ class Predictor:
             cfg=cfg,
         )
 
-    def warmup(self, buckets=None) -> None:
-        """Pre-compile the extract+classify graphs for every clip bucket so
-        first-request latency is bounded (jit compiles per input shape)."""
+    def warmup(self, buckets=None, denoise: bool | None = None) -> None:
+        """Pre-compile the denoise + extract + classify graphs for every clip
+        bucket so first-request latency is bounded (jit compiles per input
+        shape).  `denoise` defaults to the instance's denoise_first — the
+        gate graph (the fused kernel on TPU) compiles per bucket too."""
         from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
 
         for bucket in buckets or DEFAULT_BUCKETS:
             silent = np.zeros(bucket, np.float32)
+            if self.denoise_first if denoise is None else denoise:
+                silent = denoise_clips([silent], self.cfg.denoise)[0]
             feats = extract_features_numpy([silent], self.cfg.features)
             self.model.predict_proba(
                 self.scaler.transform(feats).astype(np.float32)
@@ -250,20 +254,45 @@ class SeqPredictor:
 
 
 @dataclasses.dataclass
+class _BothFeatsMLP:
+    """Ensemble member over the raw+clean feature concatenation (the r3
+    stacking sweep's winning MLP member: individually 69.5% CV vs 68.7 for
+    clean-only, and the trio with it reaches 74.4%).  Needs BOTH the raw
+    input clip and the denoised clip, so EnsemblePredictor feeds it a pair."""
+
+    scaler: StandardScaler
+    model: FittedMLP
+    classes_: list[str]
+    cfg: PipelineConfig
+
+    def predict_pair(self, y_raw: np.ndarray, y_clean: np.ndarray) -> dict:
+        feats = extract_features_numpy([y_raw, y_clean], self.cfg.features)
+        x = np.concatenate([feats[0], feats[1]])[None, :]
+        if x.shape[1] != self.scaler.n_features_in_:
+            raise ValueError(
+                f"feature length {x.shape[1]} != scaler expects "
+                f"{self.scaler.n_features_in_}; retrain or clear stale artifacts"
+            )
+        proba = self.model.predict_proba(self.scaler.transform(x).astype(np.float32))[0]
+        return {"proba": {c: float(p) for c, p in zip(self.classes_, proba)}}
+
+
+@dataclasses.dataclass
 class EnsemblePredictor:
     """Serving wrapper for the nested weighted soft-vote — the framework's
-    HEADLINE model (74.0% 5-fold CV on the reference corpus vs 70.5 best
+    HEADLINE model (74.4% 5-fold CV on the reference corpus vs 71.5 best
     single member; train/ensemble.py).
 
-    Loads the artifacts run_cv(include_seq=True) persists: the production MLP
-    (model_mlp_tpu + scaler), the refit sequence heads (model_cnn*,
-    model_cnn_bilstm*), and ensemble.json (fold-averaged member weights).
-    Mirrors the reference's serve-the-production-model contract
-    (ref: main1.py:952-999) — the reference serves its single best pickled
-    model; ours serves its best model, which is a weighted vote.
+    Loads the artifacts run_cv(include_seq=True) persists: the MLP member
+    (clean-features model_mlp_tpu, or raw+clean model_mlp_both_tpu +
+    scaler_both), the refit sequence heads (model_cnn*, model_cnn_bilstm*),
+    and ensemble.json (fold-averaged member weights).  Mirrors the
+    reference's serve-the-production-model contract (ref: main1.py:952-999)
+    — the reference serves its single best pickled model; ours serves its
+    best model, which is a weighted vote.
     """
 
-    members: dict  # name -> Predictor | SeqPredictor
+    members: dict  # name -> Predictor | SeqPredictor | _BothFeatsMLP
     weights: dict  # name -> float (sums to 1)
     classes_: list[str]
     cfg: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
@@ -275,12 +304,35 @@ class EnsemblePredictor:
     ) -> "EnsemblePredictor":
         import json
 
+        from stutter_tpu import persist
+
         meta = json.loads(Path(output_dir, "ensemble.json").read_text())
         members: dict = {}
         for name, w in meta["weights"].items():
+            if w <= 0.0:
+                # the nested weight search zeroes members that hurt the vote
+                # (on the reference corpus it zeroes every MLP member; the
+                # 74.4% model is the cnn 0.65 / cnn_bilstm 0.35 pair) — do
+                # not load or evaluate them at serving time
+                continue
             if name == "mlp":
                 members[name] = Predictor.load(output_dir, cfg)
                 classes = members[name].label_encoder.classes_
+            elif name == "mlp_both":
+                le = persist.load_label_encoder(
+                    os.path.join(output_dir, "label_encoder.json")
+                )
+                members[name] = _BothFeatsMLP(
+                    scaler=persist.load_scaler(
+                        os.path.join(output_dir, "scaler_both.npz")
+                    ),
+                    model=persist.load_mlp(
+                        os.path.join(output_dir, "model_mlp_both_tpu")
+                    ),
+                    classes_=le.classes_,
+                    cfg=cfg,
+                )
+                classes = le.classes_
             else:
                 members[name] = SeqPredictor.load(output_dir, name, cfg)
                 classes = members[name].classes_
@@ -298,13 +350,18 @@ class EnsemblePredictor:
         self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None
     ) -> dict:
         """One clip -> {label, proba, members}: denoise ONCE, then each member
-        featurizes its own way and the weighted soft-vote combines them."""
+        featurizes its own way (the both-features MLP sees the raw AND the
+        denoised clip) and the weighted soft-vote combines them."""
+        y_raw = y
         if self.denoise_first if denoise is None else denoise:
             y = denoise_clips([y], self.cfg.denoise)[0]
         proba = np.zeros(len(self.classes_), np.float64)
         member_out = {}
         for name, member in self.members.items():
-            r = member.predict_clip(y, sr, denoise=False)
+            if isinstance(member, _BothFeatsMLP):
+                r = member.predict_pair(y_raw, y)
+            else:
+                r = member.predict_clip(y, sr, denoise=False)
             p = np.array([r["proba"][c] for c in self.classes_])
             proba += self.weights[name] * p
             member_out[name] = r["proba"]

@@ -432,6 +432,7 @@ def run_cv(
     labels_taxonomy: str = "folder",
     seq_seeds: int = 1,
     seq_epochs: int = 80,
+    ensemble_mlp: str = "both",
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
@@ -442,7 +443,11 @@ def run_cv(
     training cost).
     labels_taxonomy: 'folder' (reference protocol) or '5class' (corpus folders
     map into the 5-class dysfluency taxonomy and heads get 5 outputs,
-    BASELINE config #3)."""
+    BASELINE config #3).
+    ensemble_mlp: feature set of the weighted-vote's MLP member — 'both'
+    (raw+clean concatenation, the measured best: 74.4% vs 73.9% CV) or
+    'clean'; 'both' falls back to clean-only when raw features are
+    undecodable."""
     from stutter_tpu import persist
 
     out_dir = os.path.join(root, cfg.data.output_dir)
@@ -530,7 +535,7 @@ def run_cv(
         from stutter_tpu.train.seq_pipeline import cross_validate_seq, load_corpus_clips
         from stutter_tpu.train.seq_trainer import SeqTrainConfig
 
-        clips, seq_labels = load_corpus_clips(root, cfg)
+        clips, seq_labels, seq_stems = load_corpus_clips(root, cfg, with_stems=True)
         if labels_taxonomy == "5class":
             from stutter_tpu.data import map_labels_to_5class
 
@@ -556,18 +561,47 @@ def run_cv(
             log.info("%s CV done in %.1fs: acc=%.1f%%", arch, time.time() - t0,
                      final_rows[-1]["Accuracy (%)"])
 
-        # Nested weighted soft-vote over the TPU heads (74.0% CV measured on
-        # the reference corpus vs 70.5 best single; the reference's UNIFORM
+        # Nested weighted soft-vote over the TPU heads (74.4% CV measured on
+        # the reference corpus vs 71.5 best single; the reference's UNIFORM
         # VotingClassifier loses to its own best member, main.py:905-913).
         # The MLP member re-runs on features of the seq clip subset so all
-        # member probabilities share one row set.
+        # member probabilities share one row set.  Its feature set defaults
+        # to the raw+clean concatenation (r3 stacking sweep: 74.36% vs 73.92
+        # clean-only, robust across weight-grid steps; the both-member is
+        # individually stronger too, 69.5 vs 68.7) and falls back to
+        # clean-only when raw features are undecodable.
         from stutter_tpu.ops.frontend import extract_features_numpy
         from stutter_tpu.train.ensemble import nested_weighted_vote
 
         t0 = time.time()
-        X_seq = extract_features_numpy(clips, cfg.features)
-        Xs_seq = StandardScaler.fit(X_seq).transform(X_seq).astype(np.float32)
-        _, seq_probas["mlp"] = cross_validate_mlp(
+        mlp_name, X_seq, scaler_seq = "mlp", None, None
+        if ensemble_mlp == "both":
+            # cached per-file features (raw + clean) joined by stem — cache
+            # hits make this near-free, and the member sees the exact vectors
+            # engine B trains on
+            X_raw_all, _, files_all, okr_all = extract_corpus(root, cfg, "raw")
+            X_clean_all, _, _, okc_all = extract_corpus(root, cfg, "clean")
+            stem_row = {Path(f).stem: i for i, f in enumerate(files_all)}
+            rows = [stem_row.get(s, -1) for s in seq_stems]
+            if all(r >= 0 and okr_all[r] and okc_all[r] for r in rows):
+                X_seq = np.concatenate(
+                    [X_raw_all[rows], X_clean_all[rows]], axis=1
+                )
+                mlp_name = "mlp_both"
+            else:
+                log.warning(
+                    "raw+clean features unavailable for %d seq rows; ensemble "
+                    "MLP member falls back to clean-only",
+                    sum(
+                        1 for r in rows
+                        if r < 0 or not (okr_all[r] and okc_all[r])
+                    ),
+                )
+        if X_seq is None:
+            X_seq = extract_features_numpy(clips, cfg.features)
+        scaler_seq = StandardScaler.fit(X_seq)
+        Xs_seq = scaler_seq.transform(X_seq).astype(np.float32)
+        _, seq_probas[mlp_name] = cross_validate_mlp(
             Xs_seq, y_seq, seq_folds, MLPTrainConfig(n_classes=len(class_names))
         )
         pred_v, _, vote_weights = nested_weighted_vote(seq_probas, y_seq, seq_folds)
@@ -593,6 +627,13 @@ def run_cv(
                 arch, clips, y_seq, len(class_names), seq_tc
             )
             persist_seq_head(out_dir, arch, params_a, mean_a, std_a, class_names)
+        if mlp_name == "mlp_both":
+            # the both-features member needs its own scaler + refit MLP
+            fitted_both = fit_mlp(
+                Xs_seq, y_seq, MLPTrainConfig(n_classes=len(class_names))
+            )
+            persist.save_mlp(os.path.join(out_dir, "model_mlp_both_tpu"), fitted_both)
+            persist.save_scaler(os.path.join(out_dir, "scaler_both.npz"), scaler_seq)
         avg_w = {
             name: float(np.mean([w[name] for w in vote_weights]))
             for name in vote_weights[0]

@@ -89,7 +89,14 @@ def test_ensemble_predictor_unit(tmp_path, rng):
         init_cnn_bilstm(jax.random.PRNGKey(1), in_dim=60, n_classes=2),
         np.zeros(60, np.float32), np.ones(60, np.float32), classes,
     )
-    weights = {"mlp": 0.5, "cnn": 0.3, "cnn_bilstm": 0.2}
+    # raw+clean both-features member (298-dim)
+    Xb = rng.randn(40, 298).astype(np.float32)
+    persist.save_scaler(os.path.join(out, "scaler_both.npz"), StandardScaler.fit(Xb))
+    persist.save_mlp(
+        os.path.join(out, "model_mlp_both_tpu"),
+        fit_mlp(Xb, y, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1, n_classes=2)),
+    )
+    weights = {"mlp": 0.3, "mlp_both": 0.2, "cnn": 0.3, "cnn_bilstm": 0.2}
     json.dump(
         {"weights": weights, "classes": classes},
         open(os.path.join(out, "ensemble.json"), "w"),

@@ -129,13 +129,16 @@ def test_run_cv_seq_and_weighted_vote(workspace, cfg):
     assert len(weights) == 2  # one weight dict per fold
     assert all(abs(sum(w.values()) - 1.0) < 1e-6 for w in weights)
     # the headline model is SERVABLE: refit members + fold-averaged weights
+    # (the MLP member defaults to the raw+clean concatenation, r3 sweep)
     out = os.path.join(workspace, "output_results")
     ens = json.load(open(os.path.join(out, "ensemble.json")))
-    assert set(ens["weights"]) == {"mlp", "cnn", "cnn_bilstm"}
+    assert set(ens["weights"]) == {"mlp_both", "cnn", "cnn_bilstm"}
     assert abs(sum(ens["weights"].values()) - 1.0) < 1e-6
     for arch in ("cnn", "cnn_bilstm"):
         assert os.path.exists(os.path.join(out, f"model_{arch}.npz"))
         assert os.path.exists(os.path.join(out, f"model_{arch}_norm.npz"))
+    assert os.path.exists(os.path.join(out, "model_mlp_both_tpu.npz"))
+    assert os.path.exists(os.path.join(out, "scaler_both.npz"))
 
 
 @pytest.mark.slow
