@@ -66,6 +66,29 @@ def extract_features_sharded(mesh: Mesh, audio: np.ndarray, lengths: np.ndarray,
     return sharded(np.asarray(audio), np.asarray(lengths))
 
 
+def denoise_sharded(mesh: Mesh, audio: np.ndarray, lengths: np.ndarray, cfg=None, **kw):
+    """Data-parallel spectral-gate denoise via shard_map: each chip runs its
+    OWN instance of the gate — including the fused Pallas denoise kernel
+    (ops/pallas_denoise.py), which GSPMD cannot partition inside a plain jit —
+    on its clip shard.  No collectives needed (per-clip independence).
+
+    kw passes through to denoise_batch; pallas=True with interpret=True
+    exercises the fused-kernel path on the CPU device fixture
+    (tests/test_parallel.py, __graft_entry__.dryrun_multichip).
+    Ref hot loop #1: /root/reference/pipeline1.py:371-424."""
+    from stutter_tpu.config import DenoiseConfig
+    from stutter_tpu.denoise import denoise_batch
+
+    fn = partial(denoise_batch, cfg=cfg if cfg is not None else DenoiseConfig(), **kw)
+    sharded = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False,
+        )
+    )
+    return sharded(np.asarray(audio), np.asarray(lengths))
+
+
 def make_dp_train_step(mesh: Mesh, opt, n_classes: int = 3, label_smoothing: float = 0.05):
     """Returns a jitted shard_map train step: params replicated, batch sharded,
     gradients psum-reduced over ICI."""

@@ -61,6 +61,34 @@ def test_sharded_fused_pallas_matches_unsharded(rng):
 
 
 @needs_8
+def test_sharded_fused_denoise_matches_unsharded(rng):
+    """The FUSED Pallas denoise-gate kernel under shard_map: each device runs
+    its own pallas_call (interpret mode on the CPU fixture) on its clip shard
+    and reproduces the unsharded fused gate — the round-3 denoise kernel gets
+    the same multi-chip proof as the extraction kernel."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.denoise import denoise_batch
+    from stutter_tpu.parallel.mesh import denoise_sharded
+
+    mesh = make_mesh(8)
+    audio = (rng.randn(8, 8192) * 0.1).astype(np.float32)
+    lengths = np.asarray(
+        [8192, 6000, 8000, 4096, 8192, 5000, 7777, 8192], np.int32
+    )
+    sharded = np.asarray(
+        denoise_sharded(mesh, audio, lengths, pallas=True, interpret=True)
+    )
+    single = np.asarray(
+        denoise_batch(
+            jnp.asarray(audio), jnp.asarray(lengths), pallas=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    assert (np.abs(sharded).sum(axis=1) > 0).all()
+
+
+@needs_8
 def test_run_bucketed_sharded_matches_unsharded(rng):
     """The production extraction driver (run_bucketed) shards via shard_map on
     a multi-device backend and reproduces the single-path result."""
