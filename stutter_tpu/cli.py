@@ -44,24 +44,30 @@ def main(argv: list[str] | None = None) -> int:
     add_root(p)
     p.add_argument("--no-host", action="store_true", help="skip sklearn baselines")
     p.add_argument("--features", default="clean", choices=["clean", "raw", "both"])
-    p.add_argument("--seq", action="store_true", help="also CV the CNN/CNN-BiLSTM heads")
+    p.add_argument("--seq", action="store_true",
+                   help="also CV the CNN/CNN-BiLSTM/transformer heads")
     p.add_argument("--seq-seeds", type=int, default=1,
                    help="soft-vote the sequence heads over N seeds "
                         "(5 -> 71.6%% CV for the mixup CNN, at Nx train cost)")
     p.add_argument("--labels", default="folder", choices=["folder", "5class"],
                    help="label taxonomy: corpus folders or the 5-class dysfluency set")
-    p.add_argument("--ensemble-mlp", default="both", choices=["both", "clean"],
-                   help="feature set of the weighted-vote MLP member: "
-                        "raw+clean concat (74.4%% CV, default) or clean-only")
+    p.add_argument("--ensemble-mlp", default="none",
+                   choices=["none", "both", "clean"],
+                   help="MLP member of the weighted vote: none (default — the "
+                        "cnn/bilstm/transformer trio is the 75.2%%-CV "
+                        "headline; MLP members attract weight and drag it), "
+                        "raw+clean concat, or clean-only")
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
-    p = sub.add_parser("train-seq", help="train a CNN / CNN-BiLSTM sequence head")
+    p = sub.add_parser("train-seq", help="train one sequence head (CNN / "
+                                         "CNN-BiLSTM / transformer)")
     add_root(p)
-    p.add_argument("--arch", default="cnn_bilstm", choices=["cnn", "cnn_bilstm"])
+    p.add_argument("--arch", default="cnn_bilstm",
+                   choices=["cnn", "cnn_bilstm", "transformer"])
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--mixup", type=float, default=None,
-                   help="mixup alpha (default: 0.2 for cnn — measured best — "
-                        "0.0 for cnn_bilstm)")
+                   help="mixup alpha (default: 0.2 for the log-mel heads — "
+                        "measured best — 0.0 for cnn_bilstm)")
     p.add_argument("--ckpt", action="store_true", help="Orbax checkpoint/resume")
     p.add_argument("--labels", default="folder", choices=["folder", "5class"],
                    help="label taxonomy: corpus folders or the 5-class dysfluency set")
@@ -70,10 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("file")
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--arch", default="mlp",
-                   choices=["mlp", "cnn", "cnn_bilstm", "ensemble"],
+                   choices=["mlp", "cnn", "cnn_bilstm", "transformer", "ensemble"],
                    help="serving head: the feature-MLP (reference-style), a "
                         "trained sequence model (train-seq artifacts), or the "
-                        "weighted-vote ensemble — the headline 74%%-CV model "
+                        "weighted-vote ensemble — the headline 75%%-CV model "
                         "(train --seq artifacts)")
     p = sub.add_parser("stream", help="windowed streaming inference over a long file")
     add_root(p)
@@ -86,12 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address (0.0.0.0 to expose externally)")
     p.add_argument("--seq-arch", action="append", default=[],
-                   choices=["cnn", "cnn_bilstm"],
+                   choices=["cnn", "cnn_bilstm", "transformer"],
                    help="also serve this trained sequence head "
                         "(POST /predict?model=<arch>); repeatable")
     p.add_argument("--ensemble", action="store_true",
                    help="also serve the weighted-vote ensemble — the headline "
-                        "74%%-CV model (POST /predict?model=ensemble; needs "
+                        "75%%-CV model (POST /predict?model=ensemble; needs "
                         "train --seq artifacts)")
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
@@ -154,15 +160,15 @@ def main(argv: list[str] | None = None) -> int:
                 f'loss={m["test_loss"]:.4f}'
             )
     elif args.cmd == "train-seq":
-        from stutter_tpu.train.seq_pipeline import run_seq
-        from stutter_tpu.train.seq_trainer import SeqTrainConfig
+        import dataclasses
 
-        mixup = args.mixup if args.mixup is not None else (
-            0.2 if args.arch == "cnn" else 0.0
-        )
+        from stutter_tpu.train.seq_pipeline import default_train_cfg, run_seq
+
+        tc = default_train_cfg(args.arch, args.epochs)
+        if args.mixup is not None:
+            tc = dataclasses.replace(tc, mixup_alpha=args.mixup)
         res = run_seq(
-            args.root, args.arch, cfg,
-            SeqTrainConfig(epochs=args.epochs, batch_size=64, mixup_alpha=mixup),
+            args.root, args.arch, cfg, tc,
             ckpt=args.ckpt, labels_taxonomy=args.labels,
         )
         print(

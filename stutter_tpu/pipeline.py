@@ -432,7 +432,8 @@ def run_cv(
     labels_taxonomy: str = "folder",
     seq_seeds: int = 1,
     seq_epochs: int = 80,
-    ensemble_mlp: str = "both",
+    ensemble_mlp: str = "none",
+    seq_archs: tuple = ("cnn", "cnn_bilstm", "transformer"),
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
@@ -444,10 +445,14 @@ def run_cv(
     labels_taxonomy: 'folder' (reference protocol) or '5class' (corpus folders
     map into the 5-class dysfluency taxonomy and heads get 5 outputs,
     BASELINE config #3).
-    ensemble_mlp: feature set of the weighted-vote's MLP member — 'both'
-    (raw+clean concatenation, the measured best: 74.4% vs 73.9% CV) or
-    'clean'; 'both' falls back to clean-only when raw features are
-    undecodable."""
+    ensemble_mlp: MLP member of the weighted vote — 'none' (default: with
+    the transformer in the pool the weight search attracts weight to every
+    MLP member and drags the vote, 74.6% vs 75.2% CV), 'both' (raw+clean
+    concatenation) or 'clean'; 'both' falls back to clean-only when raw
+    features are undecodable.
+    seq_archs: sequence members of the CV table and the weighted vote
+    (r3 sweep: the cnn/cnn_bilstm/transformer trio is the headline —
+    75.2% nested / 74.9% uniform vs 74.4% for the cnn+bilstm pair)."""
     from stutter_tpu import persist
 
     out_dir = os.path.join(root, cfg.data.output_dir)
@@ -532,8 +537,11 @@ def run_cv(
         # Sequence heads (CNN / CNN-BiLSTM) on the decodable denoised clips —
         # their row set is the clips with clear_audio WAVs, so their folds are
         # computed over that subset (noted in the table row name).
-        from stutter_tpu.train.seq_pipeline import cross_validate_seq, load_corpus_clips
-        from stutter_tpu.train.seq_trainer import SeqTrainConfig
+        from stutter_tpu.train.seq_pipeline import (
+            cross_validate_seq,
+            default_train_cfg,
+            load_corpus_clips,
+        )
 
         clips, seq_labels, seq_stems = load_corpus_clips(root, cfg, with_stems=True)
         if labels_taxonomy == "5class":
@@ -543,15 +551,9 @@ def run_cv(
         y_seq = le.transform(seq_labels)
         seq_folds = stratified_kfold(y_seq, cfg.train.n_folds, cfg.train.seed)
         seq_probas: dict[str, np.ndarray] = {}
-        for arch in ("cnn", "cnn_bilstm"):
+        for arch in seq_archs:
             t0 = time.time()
-            # mixup on the log-mel CNN is the measured best config (aug sweep:
-            # 70.5% CV vs 70.1 plain; SpecAugment variants all hurt); BiLSTM
-            # stays plain (untested there).
-            seq_tc = SeqTrainConfig(
-                epochs=seq_epochs, batch_size=64,
-                mixup_alpha=0.2 if arch == "cnn" else 0.0,
-            )
+            seq_tc = default_train_cfg(arch, seq_epochs)
             pred_s, proba_s = cross_validate_seq(
                 arch, clips, y_seq, seq_folds, len(class_names), seq_tc,
                 n_seeds=seq_seeds,
@@ -561,15 +563,15 @@ def run_cv(
             log.info("%s CV done in %.1fs: acc=%.1f%%", arch, time.time() - t0,
                      final_rows[-1]["Accuracy (%)"])
 
-        # Nested weighted soft-vote over the TPU heads (74.4% CV measured on
-        # the reference corpus vs 71.5 best single; the reference's UNIFORM
+        # Nested weighted soft-vote over the TPU heads (75.2% CV measured on
+        # the reference corpus vs 72.9 best single; the reference's UNIFORM
         # VotingClassifier loses to its own best member, main.py:905-913).
-        # The MLP member re-runs on features of the seq clip subset so all
-        # member probabilities share one row set.  Its feature set defaults
-        # to the raw+clean concatenation (r3 stacking sweep: 74.36% vs 73.92
-        # clean-only, robust across weight-grid steps; the both-member is
-        # individually stronger too, 69.5 vs 68.7) and falls back to
-        # clean-only when raw features are undecodable.
+        # The optional MLP member re-runs on features of the seq clip subset
+        # so all member probabilities share one row set; it defaults OFF —
+        # with the transformer in the pool the weight search attracts weight
+        # to every MLP member and drags the vote (r3 sweep: quad 74.6% vs
+        # trio 75.2%; the trio's UNIFORM vote, 74.9%, also beats the quad's
+        # searched vote).
         from stutter_tpu.ops.frontend import extract_features_numpy
         from stutter_tpu.train.ensemble import nested_weighted_vote
 
@@ -597,13 +599,15 @@ def run_cv(
                         if r < 0 or not (okr_all[r] and okc_all[r])
                     ),
                 )
-        if X_seq is None:
-            X_seq = extract_features_numpy(clips, cfg.features)
-        scaler_seq = StandardScaler.fit(X_seq)
-        Xs_seq = scaler_seq.transform(X_seq).astype(np.float32)
-        _, seq_probas[mlp_name] = cross_validate_mlp(
-            Xs_seq, y_seq, seq_folds, MLPTrainConfig(n_classes=len(class_names))
-        )
+        Xs_seq = None
+        if ensemble_mlp != "none":
+            if X_seq is None:
+                X_seq = extract_features_numpy(clips, cfg.features)
+            scaler_seq = StandardScaler.fit(X_seq)
+            Xs_seq = scaler_seq.transform(X_seq).astype(np.float32)
+            _, seq_probas[mlp_name] = cross_validate_mlp(
+                Xs_seq, y_seq, seq_folds, MLPTrainConfig(n_classes=len(class_names))
+            )
         pred_v, _, vote_weights = nested_weighted_vote(seq_probas, y_seq, seq_folds)
         final_rows.append(cv_row("Weighted-Vote-TPU", y_seq, pred_v, seq_folds))
         with open(os.path.join(out_dir, "ensemble_weights.json"), "w") as f:
@@ -618,16 +622,12 @@ def run_cv(
         from stutter_tpu.train.seq_pipeline import fit_seq_head, persist_seq_head
 
         t0 = time.time()
-        for arch in ("cnn", "cnn_bilstm"):
-            seq_tc = SeqTrainConfig(
-                epochs=seq_epochs, batch_size=64,
-                mixup_alpha=0.2 if arch == "cnn" else 0.0,
-            )
+        for arch in seq_archs:
             params_a, mean_a, std_a = fit_seq_head(
-                arch, clips, y_seq, len(class_names), seq_tc
+                arch, clips, y_seq, len(class_names), default_train_cfg(arch, seq_epochs)
             )
             persist_seq_head(out_dir, arch, params_a, mean_a, std_a, class_names)
-        if mlp_name == "mlp_both":
+        if ensemble_mlp != "none" and mlp_name == "mlp_both":
             # the both-features member needs its own scaler + refit MLP
             fitted_both = fit_mlp(
                 Xs_seq, y_seq, MLPTrainConfig(n_classes=len(class_names))

@@ -141,10 +141,10 @@ def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
           host: str = "127.0.0.1", seq_arches: tuple = (), ensemble: bool = False):
     """Build the HTTP server (bind localhost by default; pass host='0.0.0.0'
     to expose it like the reference's Streamlit port does).  seq_arches
-    additionally loads trained sequence heads ('cnn' / 'cnn_bilstm',
-    train-seq artifacts) served via POST /predict?model=<arch>;
+    additionally loads trained sequence heads ('cnn' / 'cnn_bilstm' /
+    'transformer', train-seq artifacts) served via POST /predict?model=<arch>;
     ensemble=True loads the weighted-vote EnsemblePredictor (the headline
-    74%-CV model, run_cv --seq artifacts) at POST /predict?model=ensemble."""
+    75%-CV model, run_cv --seq artifacts) at POST /predict?model=ensemble."""
     from stutter_tpu.config import PipelineConfig
     from stutter_tpu.infer import EnsemblePredictor, SeqPredictor
 

@@ -20,6 +20,7 @@ from stutter_tpu.config import PipelineConfig
 from stutter_tpu.data import label_of, list_audio_files
 from stutter_tpu.models.cnn import apply_cnn, init_cnn
 from stutter_tpu.models.cnn_bilstm import apply_cnn_bilstm, init_cnn_bilstm
+from stutter_tpu.models.transformer import apply_transformer, init_transformer
 from stutter_tpu.models.scaler import LabelEncoder
 from stutter_tpu.train.seq_trainer import (
     SeqTrainConfig,
@@ -43,7 +44,22 @@ ARCHS = {
         apply_fn=apply_cnn_bilstm,
         init_kwargs=lambda n_classes: {"in_dim": 60, "n_classes": n_classes},
     ),
+    "transformer": dict(
+        kind="logmel",
+        init_fn=init_transformer,
+        apply_fn=apply_transformer,
+        init_kwargs=lambda n_classes: {"n_mels": 128, "n_classes": n_classes},
+    ),
 }
+
+
+def default_train_cfg(arch: str, epochs: int = 80) -> SeqTrainConfig:
+    """The measured-best training recipe per arch (r2 aug sweep + r3
+    transformer sweep, docs/experiments_r3.md): mixup 0.2 on the log-mel
+    heads (CNN 70.5 vs 70.1 plain; transformer 72.5 vs 70.8 plain),
+    plain for the BiLSTM (mixup there is within seed noise)."""
+    mixup = 0.2 if ARCHS[arch]["kind"] == "logmel" else 0.0
+    return SeqTrainConfig(epochs=epochs, batch_size=64, mixup_alpha=mixup)
 
 
 def load_corpus_clips(

@@ -39,6 +39,50 @@ def test_cnn_bilstm_shapes_and_mask_invariance(rng):
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)
 
 
+def test_transformer_shapes_and_mask_invariance(rng):
+    from stutter_tpu.models.transformer import apply_transformer, init_transformer
+
+    params = init_transformer(jax.random.PRNGKey(0), n_mels=128, n_classes=3)
+    x = jnp.asarray(rng.randn(2, 64, 128).astype(np.float32))
+    mask = jnp.arange(64)[None, :] < jnp.asarray([64, 40])[:, None]
+    logits = apply_transformer(params, x, mask)
+    assert logits.shape == (2, 3)
+    # padding beyond n_valid must not affect the output (conv stem zeroing +
+    # attention key masking + masked pooling)
+    x2 = x.at[1, 40:].set(99.0)
+    logits2 = apply_transformer(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-4)
+
+
+def test_transformer_learns(rng):
+    """The transformer head separates sequences whose mean frame value encodes
+    the class (same task the CNN-BiLSTM smoke test learns)."""
+    from stutter_tpu.models.transformer import apply_transformer, init_transformer
+    from stutter_tpu.train.seq_trainer import (
+        SeqTrainConfig,
+        predict_sequence_model,
+        train_sequence_model,
+    )
+
+    n, T, D = 120, 32, 16
+    y = rng.randint(0, 2, n)
+    X = rng.randn(n, T, D).astype(np.float32) * 0.1
+    X += y[:, None, None] * 0.8
+    n_valid = np.full(n, T, np.int32)
+    params = train_sequence_model(
+        init_transformer,
+        apply_transformer,
+        X,
+        n_valid,
+        y,
+        n_classes=2,
+        cfg=SeqTrainConfig(epochs=20, batch_size=32),
+        init_kwargs={"n_mels": D, "d_model": 16, "n_blocks": 1, "d_ff": 32, "n_classes": 2},
+    )
+    proba = predict_sequence_model(apply_transformer, params, X, n_valid)
+    assert (proba.argmax(-1) == y).mean() > 0.9
+
+
 def test_mlp_learns_separable_data(rng):
     """fit_mlp should fit an easily separable 3-class problem near-perfectly."""
     from stutter_tpu.train.trainer import MLPTrainConfig, fit_mlp

@@ -109,19 +109,24 @@ def test_run_seq_on_synthetic(workspace, cfg):
 def test_run_cv_seq_and_weighted_vote(workspace, cfg):
     """run_cv --seq trains the sequence heads AND the nested weighted vote;
     the ensemble row + weights artifact appear in the output.  Slow-marked:
-    it trains 2 archs x 2 folds + 2 production refits on CPU (the fast suite
+    it trains 3 archs x 2 folds + 3 production refits on CPU (the fast suite
     covers the grid trainer in test_models and EnsemblePredictor mechanics in
-    test_infer)."""
+    test_infer).  ensemble_mlp='both' (not the production default 'none') so
+    one run covers the trio archs AND the raw+clean MLP-member machinery."""
     import json
 
     from stutter_tpu.config import PipelineConfig, TrainConfig
-    from stutter_tpu.pipeline import run_cv
+    from stutter_tpu.pipeline import preprocess, run_cv
 
     cfg2 = PipelineConfig(train=TrainConfig(n_folds=2))
+    # self-sufficient under `-m slow` (the fast tests that normally populate
+    # the module workspace are deselected there); preprocess is idempotent
+    preprocess(workspace, cfg2)
     res = run_cv(workspace, cfg2, include_host=False, include_seq=True,
-                 seq_epochs=8)
+                 seq_epochs=8, ensemble_mlp="both")
     names = [r["Model"] for r in res["final_rows"]]
-    assert "CNN-TPU" in names and "Weighted-Vote-TPU" in names
+    assert "CNN-TPU" in names and "TRANSFORMER-TPU" in names
+    assert "Weighted-Vote-TPU" in names
     vote = next(r for r in res["final_rows"] if r["Model"] == "Weighted-Vote-TPU")
     assert vote["Accuracy (%)"] > 60  # tones vs noise is trivially separable
     wpath = os.path.join(workspace, "output_results", "ensemble_weights.json")
@@ -129,12 +134,11 @@ def test_run_cv_seq_and_weighted_vote(workspace, cfg):
     assert len(weights) == 2  # one weight dict per fold
     assert all(abs(sum(w.values()) - 1.0) < 1e-6 for w in weights)
     # the headline model is SERVABLE: refit members + fold-averaged weights
-    # (the MLP member defaults to the raw+clean concatenation, r3 sweep)
     out = os.path.join(workspace, "output_results")
     ens = json.load(open(os.path.join(out, "ensemble.json")))
-    assert set(ens["weights"]) == {"mlp_both", "cnn", "cnn_bilstm"}
+    assert set(ens["weights"]) == {"mlp_both", "cnn", "cnn_bilstm", "transformer"}
     assert abs(sum(ens["weights"].values()) - 1.0) < 1e-6
-    for arch in ("cnn", "cnn_bilstm"):
+    for arch in ("cnn", "cnn_bilstm", "transformer"):
         assert os.path.exists(os.path.join(out, f"model_{arch}.npz"))
         assert os.path.exists(os.path.join(out, f"model_{arch}_norm.npz"))
     assert os.path.exists(os.path.join(out, "model_mlp_both_tpu.npz"))
@@ -149,7 +153,9 @@ def test_ensemble_predictor_serves_weighted_vote(workspace, cfg):
     from stutter_tpu.infer import EnsemblePredictor
 
     pred = EnsemblePredictor.load(os.path.join(workspace, "output_results"), cfg)
-    assert set(pred.members) == set(pred.weights)
+    # zero-weight members are pruned at load; everything loaded is active
+    assert set(pred.members) == {n for n, w in pred.weights.items() if w > 0}
+    assert len(pred.members) >= 1
     sr = 16000
     tone = (0.5 * np.sin(2 * np.pi * 440.0 * np.arange(16000) / sr)).astype(np.float32)
     noise = (np.random.RandomState(3).randn(16000) * 0.2).astype(np.float32)
