@@ -221,6 +221,15 @@ class SeqPredictor:
             cfg=cfg,
         )
 
+    def warmup(self, buckets=None, denoise: bool | None = None) -> None:
+        """Pre-compile the denoise + featurize + forward graphs for every
+        clip bucket (jit compiles per input shape; first-request latency
+        over a tunneled backend is otherwise unbounded)."""
+        from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
+
+        for bucket in buckets or DEFAULT_BUCKETS:
+            self.predict_clip(np.zeros(bucket, np.float32), denoise=denoise)
+
     def predict_clip(
         self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None
     ) -> dict:
@@ -345,6 +354,15 @@ class EnsemblePredictor:
             members=members, weights=meta["weights"],
             classes_=list(meta["classes"]), cfg=cfg,
         )
+
+    def warmup(self, buckets=None, denoise: bool | None = None) -> None:
+        """Pre-compile every member's graphs for every clip bucket so the
+        headline model's first request is bounded (compiles are per shape,
+        and per member here)."""
+        from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
+
+        for bucket in buckets or DEFAULT_BUCKETS:
+            self.predict_clip(np.zeros(bucket, np.float32), denoise=denoise)
 
     def predict_clip(
         self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None

@@ -155,6 +155,10 @@ def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
         extra["ensemble"] = EnsemblePredictor.load(output_dir, cfg)
     if warmup:
         predictor.warmup()
+        for m in extra.values():
+            # seq heads + ensemble compile per bucket AND per member —
+            # unbounded first-request latency over a tunneled backend otherwise
+            m.warmup()
     httpd = ThreadingHTTPServer(
         (host, port), make_handler(predictor, seq_predictors=extra)
     )

@@ -103,6 +103,8 @@ def test_ensemble_predictor_unit(tmp_path, rng):
     )
 
     pred = EnsemblePredictor.load(out, PipelineConfig())
+    # warmup pre-compiles every member for the given buckets without error
+    pred.warmup(buckets=[8192], denoise=False)
     clip = (rng.randn(16000) * 0.2).astype(np.float32)
     r = pred.predict_clip(clip, 16000, denoise=False)
     assert set(r["proba"]) == set(classes)
