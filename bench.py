@@ -85,7 +85,7 @@ def measure_denoise_tpu(batch: int = 256, n_samples: int = 49152, iters: int = 1
     return batch / dt
 
 
-def measure_denoise_cpu(n_clips: int = 3) -> float:
+def measure_denoise_cpu(n_clips: int = 8) -> float:
     """Single-threaded CPU reference path: per-clip oracle spectral gate."""
     from stutter_tpu.oracle.denoise import denoise_clip
 
