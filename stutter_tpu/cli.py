@@ -99,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also serve the weighted-vote ensemble — the headline "
                         "75%%-CV model (POST /predict?model=ensemble; needs "
                         "train --seq artifacts)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip pre-compiling every model x clip-bucket at "
+                        "startup (bind the port fast; first requests pay the "
+                        "jit compiles instead)")
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -200,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
 
         httpd = serve(os.path.join(args.root, cfg.data.output_dir), cfg, args.port,
                       host=args.host, seq_arches=tuple(args.seq_arch),
-                      ensemble=args.ensemble)
+                      ensemble=args.ensemble, warmup=not args.no_warmup)
         print(f"serving on {args.host}:{args.port} (POST /predict, /stream; GET /healthz)")
         httpd.serve_forever()
     elif args.cmd == "bench":

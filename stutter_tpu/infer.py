@@ -54,7 +54,7 @@ class Predictor:
         gate graph (the fused kernel on TPU) compiles per bucket too."""
         from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
 
-        for bucket in buckets or DEFAULT_BUCKETS:
+        for bucket in (buckets if buckets is not None else DEFAULT_BUCKETS):
             silent = np.zeros(bucket, np.float32)
             if self.denoise_first if denoise is None else denoise:
                 silent = denoise_clips([silent], self.cfg.denoise)[0]
@@ -175,13 +175,15 @@ class Predictor:
 
 @dataclasses.dataclass
 class SeqPredictor:
-    """Serving wrapper for a trained sequence head (CNN / CNN-BiLSTM).
+    """Serving wrapper for a trained sequence head (CNN / CNN-BiLSTM /
+    transformer).
 
     Loads the artifacts run_seq persists (model_<arch>.npz + _norm.npz +
     .json, train/seq_pipeline.py) and runs the same denoise -> featurize ->
-    standardize -> predict path the trainer used, so the framework's BEST
-    model (the log-mel CNN) is servable, not just the feature-MLP that
-    mirrors the reference's RF endpoint (ref main1.py:952-999).
+    standardize -> predict path the trainer used, so the strong sequence
+    models (best single: the mixup transformer, 72.5% CV) are servable, not
+    just the feature-MLP that mirrors the reference's RF endpoint
+    (ref main1.py:952-999).
     """
 
     arch: str
@@ -227,7 +229,7 @@ class SeqPredictor:
         over a tunneled backend is otherwise unbounded)."""
         from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
 
-        for bucket in buckets or DEFAULT_BUCKETS:
+        for bucket in (buckets if buckets is not None else DEFAULT_BUCKETS):
             self.predict_clip(np.zeros(bucket, np.float32), denoise=denoise)
 
     def predict_clip(
@@ -264,9 +266,10 @@ class SeqPredictor:
 
 @dataclasses.dataclass
 class _BothFeatsMLP:
-    """Ensemble member over the raw+clean feature concatenation (the r3
-    stacking sweep's winning MLP member: individually 69.5% CV vs 68.7 for
-    clean-only, and the trio with it reaches 74.4%).  Needs BOTH the raw
+    """Optional ensemble member over the raw+clean feature concatenation
+    (run_cv ensemble_mlp='both'; individually 69.5% CV vs 68.7 clean-only —
+    but OFF by default: with the transformer in the pool MLP members attract
+    weight and drag the vote, docs/experiments_r3.md).  Needs BOTH the raw
     input clip and the denoised clip, so EnsemblePredictor feeds it a pair."""
 
     scaler: StandardScaler
@@ -289,13 +292,14 @@ class _BothFeatsMLP:
 @dataclasses.dataclass
 class EnsemblePredictor:
     """Serving wrapper for the nested weighted soft-vote — the framework's
-    HEADLINE model (74.4% 5-fold CV on the reference corpus vs 71.5 best
-    single member; train/ensemble.py).
+    HEADLINE model (75.2% 5-fold CV on the reference corpus vs 72.5 best
+    single member; the CNN + CNN-BiLSTM + transformer trio by default,
+    train/ensemble.py + docs/experiments_r3.md).
 
-    Loads the artifacts run_cv(include_seq=True) persists: the MLP member
-    (clean-features model_mlp_tpu, or raw+clean model_mlp_both_tpu +
-    scaler_both), the refit sequence heads (model_cnn*, model_cnn_bilstm*),
-    and ensemble.json (fold-averaged member weights).  Mirrors the
+    Loads the artifacts run_cv(include_seq=True) persists: the refit
+    sequence heads (model_<arch>*), optional MLP members (clean-features
+    model_mlp_tpu or raw+clean model_mlp_both_tpu + scaler_both), and
+    ensemble.json (fold-averaged member weights).  Mirrors the
     reference's serve-the-production-model contract (ref: main1.py:952-999)
     — the reference serves its single best pickled model; ours serves its
     best model, which is a weighted vote.
@@ -320,9 +324,7 @@ class EnsemblePredictor:
         for name, w in meta["weights"].items():
             if w <= 0.0:
                 # the nested weight search zeroes members that hurt the vote
-                # (on the reference corpus it zeroes every MLP member; the
-                # 74.4% model is the cnn 0.65 / cnn_bilstm 0.35 pair) — do
-                # not load or evaluate them at serving time
+                # — do not load or evaluate them at serving time
                 continue
             if name == "mlp":
                 members[name] = Predictor.load(output_dir, cfg)
@@ -361,7 +363,7 @@ class EnsemblePredictor:
         and per member here)."""
         from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
 
-        for bucket in buckets or DEFAULT_BUCKETS:
+        for bucket in (buckets if buckets is not None else DEFAULT_BUCKETS):
             self.predict_clip(np.zeros(bucket, np.float32), denoise=denoise)
 
     def predict_clip(

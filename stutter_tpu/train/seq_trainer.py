@@ -62,6 +62,29 @@ def _spec_augment(rng, xb, nv, cfg: "SeqTrainConfig"):
     return xb * keep
 
 
+@partial(jax.jit, static_argnames=("kind", "sr"))
+def _featurize_seq(audio, lengths, kind, sr):
+    """Batched sequence featurization ([B, N] audio -> [B, T, D] frames).
+    MODULE-LEVEL jit: serving calls prepare_sequence_dataset per request, and
+    a closure-local jit would retrace/recompile on every call (30-300 s per
+    compile over a tunneled backend)."""
+    from stutter_tpu.ops.delta import sg_delta
+    from stutter_tpu.ops.masked import frame_mask
+    from stutter_tpu.ops.spectral import mel_power_to_db, mfcc_from_db, power_spectrogram
+
+    power = power_spectrogram(audio, 2048, 512)
+    mask = frame_mask(lengths, 512, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    db = mel_power_to_db(power, mask, sr, 2048, 128)
+    if kind == "logmel":
+        return db, mask
+    mf = mfcc_from_db(db, 20)
+    nv = 1 + lengths // 512
+    d1 = sg_delta(mf, nv, 1)
+    d2 = sg_delta(mf, nv, 2)
+    return jnp.concatenate([mf, d1, d2], axis=-1), mask
+
+
 def prepare_sequence_dataset(
     clips: list[np.ndarray],
     kind: str = "logmel",
@@ -73,24 +96,9 @@ def prepare_sequence_dataset(
 
     kind='logmel': [T, 128] log-mel; kind='mfcc_deltas': [T, 60] MFCC+Δ+ΔΔ.
     """
-    from stutter_tpu.ops.delta import sg_delta
     from stutter_tpu.ops.frontend import pad_to_bucket
-    from stutter_tpu.ops.masked import frame_mask
-    from stutter_tpu.ops.spectral import mel_power_to_db, mfcc_from_db, power_spectrogram
 
-    @partial(jax.jit, static_argnames=("kind",))
-    def featurize(audio, lengths, kind):
-        power = power_spectrogram(audio, 2048, 512)
-        mask = frame_mask(lengths, 512, power.shape[1])
-        power = jnp.where(mask[:, :, None], power, 0.0)
-        db = mel_power_to_db(power, mask, sr, 2048, 128)
-        if kind == "logmel":
-            return db, mask
-        mf = mfcc_from_db(db, 20)
-        nv = 1 + lengths // 512
-        d1 = sg_delta(mf, nv, 1)
-        d2 = sg_delta(mf, nv, 2)
-        return jnp.concatenate([mf, d1, d2], axis=-1), mask
+    featurize = partial(_featurize_seq, sr=sr)
 
     D = 128 if kind == "logmel" else 60
     N = len(clips)
@@ -308,6 +316,17 @@ def train_seq_grid(
     return jax.vmap(one_model, in_axes=(0, 0, 0, 0))(seeds, w, mean_g, std_g)
 
 
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _fwd_grid(params_grid, xb, mb, mean_g, std_g, *, apply_fn):
+    # module-level jit (not a closure-local one): re-wrapping per call would
+    # retrace/recompile on every invocation
+    def one(p, m, s):
+        xs = (xb - m) / s * mb[:, :, None]
+        return jax.nn.softmax(apply_fn(p, xs, mb), -1)
+
+    return jax.vmap(one)(params_grid, mean_g, std_g)
+
+
 def predict_seq_grid(
     apply_fn: Callable,
     params_grid: dict,
@@ -320,15 +339,7 @@ def predict_seq_grid(
     """[G, ...] params + raw [N, T, D] -> probabilities [G, N, C]; each grid
     entry standardizes the shared batch with its own fold stats."""
     N, T, _ = X.shape
-
-    @partial(jax.jit, static_argnames=("apply_fn",))
-    def fwd(params_grid, xb, mb, mean_g, std_g, *, apply_fn):
-        def one(p, m, s):
-            xs = (xb - m) / s * mb[:, :, None]
-            return jax.nn.softmax(apply_fn(p, xs, mb), -1)
-
-        return jax.vmap(one)(params_grid, mean_g, std_g)
-
+    fwd = _fwd_grid
     mg, sg = jnp.asarray(mean_g), jnp.asarray(std_g)
     outs = []
     for s in range(0, N, batch):
@@ -338,19 +349,22 @@ def predict_seq_grid(
     return np.concatenate(outs, axis=1)
 
 
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _fwd_single(params, xb, mb, *, apply_fn):
+    # module-level jit: SeqPredictor serving calls predict_sequence_model per
+    # request; a closure-local jit would recompile every request (30-300 s
+    # per compile over a tunneled backend, and warmup could never help)
+    return jax.nn.softmax(apply_fn(params, xb, mb), -1)
+
+
 def predict_sequence_model(
     apply_fn: Callable, params: dict, X: np.ndarray, n_valid: np.ndarray, batch: int = 256
 ) -> np.ndarray:
     """[N, T, D] -> probabilities [N, C]."""
     N, T, _ = X.shape
-
-    @jax.jit
-    def fwd(xb, mb):
-        return jax.nn.softmax(apply_fn(params, xb, mb), -1)
-
     outs = []
     for s in range(0, N, batch):
         xb = jnp.asarray(X[s : s + batch])
         mb = jnp.arange(T)[None, :] < jnp.asarray(n_valid[s : s + batch])[:, None]
-        outs.append(np.asarray(fwd(xb, mb)))
+        outs.append(np.asarray(_fwd_single(params, xb, mb, apply_fn=apply_fn)))
     return np.concatenate(outs, axis=0)
