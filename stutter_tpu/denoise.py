@@ -131,9 +131,21 @@ def _istft_ola(spec: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return total / jnp.asarray(denom)[None, :]
 
 
-def _use_pallas_gate(pallas: bool | None) -> bool:
+# The fused gate keeps every per-clip buffer VMEM-resident, so its scoped
+# VMEM footprint grows with the chunk count: ~21.8 KB/chunk (measured from
+# the compiler's 19.15 MiB report at 879 chunks) against a 16 MiB scoped
+# limit on v5e.  Auto-routing therefore falls back to the XLA gate for clips
+# whose chunk count exceeds this bound (the 10.24 s bucket: 879 chunks OOMs;
+# the 6.1 s bucket: 623 chunks fits).  An explicit pallas=True is honored
+# regardless (tests / benchmarks).
+PALLAS_GATE_MAX_CHUNKS = 720
+
+
+def _use_pallas_gate(pallas: bool | None, n_chunks: int) -> bool:
     if pallas is not None:
         return pallas
+    if n_chunks > PALLAS_GATE_MAX_CHUNKS:
+        return False
     return jax.default_backend() not in ("cpu", "gpu")
 
 
@@ -164,7 +176,7 @@ def denoise_batch(
     buf_len = -(-(N + 2 * PAD) // hop) * hop
     x = jnp.pad(audio, ((0, 0), (PAD, buf_len - N - PAD)))
 
-    if _use_pallas_gate(pallas):
+    if _use_pallas_gate(pallas, (buf_len + n_fft) // hop):
         from stutter_tpu.ops.pallas_denoise import spectral_gate_pallas
 
         chunks = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2))).reshape(
