@@ -63,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
                                          "CNN-BiLSTM / transformer)")
     add_root(p)
     p.add_argument("--arch", default="cnn_bilstm",
-                   choices=["cnn", "cnn_bilstm", "transformer"])
+                   choices=["cnn", "cnn_bilstm", "transformer",
+                            "transformer_lr1e3"])
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--mixup", type=float, default=None,
                    help="mixup alpha (default: 0.2 for the log-mel heads — "
@@ -76,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("file")
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--arch", default="mlp",
-                   choices=["mlp", "cnn", "cnn_bilstm", "transformer", "ensemble"],
+                   choices=["mlp", "cnn", "cnn_bilstm", "transformer",
+                            "transformer_lr1e3", "ensemble"],
                    help="serving head: the feature-MLP (reference-style), a "
                         "trained sequence model (train-seq artifacts), or the "
                         "weighted-vote ensemble — the headline 75%%-CV model "
@@ -92,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address (0.0.0.0 to expose externally)")
     p.add_argument("--seq-arch", action="append", default=[],
-                   choices=["cnn", "cnn_bilstm", "transformer"],
+                   choices=["cnn", "cnn_bilstm", "transformer",
+                            "transformer_lr1e3"],
                    help="also serve this trained sequence head "
                         "(POST /predict?model=<arch>); repeatable")
     p.add_argument("--ensemble", action="store_true",

@@ -433,7 +433,7 @@ def run_cv(
     seq_seeds: int = 1,
     seq_epochs: int = 80,
     ensemble_mlp: str = "none",
-    seq_archs: tuple = ("cnn", "cnn_bilstm", "transformer"),
+    seq_archs: tuple = ("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3"),
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
@@ -451,8 +451,9 @@ def run_cv(
     concatenation) or 'clean'; 'both' falls back to clean-only when raw
     features are undecodable.
     seq_archs: sequence members of the CV table and the weighted vote
-    (r3 sweep: the cnn/cnn_bilstm/transformer trio is the headline —
-    75.2% nested / 74.9% uniform vs 74.4% for the cnn+bilstm pair)."""
+    (r3 sweep: the cnn / cnn_bilstm / transformer / transformer_lr1e3 quad
+    is the headline — 75.8% nested / 75.25% uniform, beating the trio at
+    every weight-grid step; the cnn+bilstm pair was 74.4%)."""
     from stutter_tpu import persist
 
     out_dir = os.path.join(root, cfg.data.output_dir)

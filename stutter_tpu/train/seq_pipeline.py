@@ -50,6 +50,18 @@ ARCHS = {
         apply_fn=apply_transformer,
         init_kwargs=lambda n_classes: {"n_mels": 128, "n_classes": n_classes},
     ),
+    # Same architecture trained at lr 1e-3 — a deliberately distinct
+    # optimization trajectory.  As a 4th ensemble member it adds genuine
+    # diversity: the quad beats the trio at EVERY weight-grid step
+    # (74.9/75.8/76.0 vs 73.9/75.25/74.25 at steps 0.1/0.05/0.025) and
+    # uniformly (75.25 vs 74.92); solo it is 72.7 % CV
+    # (docs/experiments_r3.md).
+    "transformer_lr1e3": dict(
+        kind="logmel",
+        init_fn=init_transformer,
+        apply_fn=apply_transformer,
+        init_kwargs=lambda n_classes: {"n_mels": 128, "n_classes": n_classes},
+    ),
 }
 
 
@@ -57,9 +69,13 @@ def default_train_cfg(arch: str, epochs: int = 80) -> SeqTrainConfig:
     """The measured-best training recipe per arch (r2 aug sweep + r3
     transformer sweep, docs/experiments_r3.md): mixup 0.2 on the log-mel
     heads (CNN 70.5 vs 70.1 plain; transformer 72.5 vs 70.8 plain),
-    plain for the BiLSTM (mixup there is within seed noise)."""
+    plain for the BiLSTM (mixup there is within seed noise);
+    transformer_lr1e3 is the lr 1e-3 recipe (solo 72.7)."""
     mixup = 0.2 if ARCHS[arch]["kind"] == "logmel" else 0.0
-    return SeqTrainConfig(epochs=epochs, batch_size=64, mixup_alpha=mixup)
+    lr = 1e-3 if arch == "transformer_lr1e3" else 2e-3
+    return SeqTrainConfig(
+        epochs=epochs, batch_size=64, mixup_alpha=mixup, learning_rate=lr
+    )
 
 
 def load_corpus_clips(
