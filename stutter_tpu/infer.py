@@ -24,6 +24,19 @@ from stutter_tpu.ops.frontend import extract_features_numpy
 from stutter_tpu.train.trainer import FittedMLP
 
 
+def _resample_to(y: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Library callers may pass audio at any rate; the frontend is trained at
+    target_sr, so silently extracting at the wrong rate would be wrong, not
+    just imprecise.  predict_file/HTTP decode at target_sr already — this
+    covers direct predict_clip(y, sr=...) calls (Kaiser polyphase,
+    ops.resample, the same path the decoders use)."""
+    if sr != target_sr:
+        from stutter_tpu.ops.resample import resample
+
+        return resample(np.asarray(y, np.float32), sr, target_sr).astype(np.float32)
+    return y
+
+
 @dataclasses.dataclass
 class Predictor:
     """Loaded artifacts for serving (ref pickles -> our npz/json, persist.py)."""
@@ -69,6 +82,7 @@ class Predictor:
 
         `denoise` overrides the instance default per call (serving uses this
         so concurrent requests never mutate shared Predictor state)."""
+        y = _resample_to(y, sr, self.cfg.features.frontend.sample_rate)
         if self.denoise_first if denoise is None else denoise:
             y = denoise_clips([y], self.cfg.denoise)[0]
         feats = extract_features_numpy([y], self.cfg.features)[0]
@@ -242,6 +256,7 @@ class SeqPredictor:
             prepare_sequence_dataset,
         )
 
+        y = _resample_to(y, sr, self.cfg.features.frontend.sample_rate)
         if self.denoise_first if denoise is None else denoise:
             y = denoise_clips([y], self.cfg.denoise)[0]
         X, nv = prepare_sequence_dataset([y], kind=self.kind)
@@ -298,7 +313,9 @@ class EnsemblePredictor:
 
     Loads the artifacts run_cv(include_seq=True) persists: the refit
     sequence heads (model_<arch>*), optional MLP members (clean-features
-    model_mlp_tpu or raw+clean model_mlp_both_tpu + scaler_both), and
+    model_mlp_clean_tpu + scaler_clean or raw+clean model_mlp_both_tpu +
+    scaler_both, each refit on the seq clip subset; 'mlp' loads engine B's
+    full-corpus MLP for pre-r4 artifacts), and
     ensemble.json (fold-averaged member weights).  Mirrors the
     reference's serve-the-production-model contract (ref: main1.py:952-999)
     — the reference serves its single best pickled model; ours serves its
@@ -327,8 +344,27 @@ class EnsemblePredictor:
                 # — do not load or evaluate them at serving time
                 continue
             if name == "mlp":
+                # legacy artifacts (pre-r4): the vote's clean member was
+                # engine B's full-corpus MLP
                 members[name] = Predictor.load(output_dir, cfg)
                 classes = members[name].label_encoder.classes_
+            elif name == "mlp_clean":
+                # the dedicated clean-features member run_cv refits on the
+                # seq clip subset (its own scaler — NOT engine B's)
+                le = persist.load_label_encoder(
+                    os.path.join(output_dir, "label_encoder.json")
+                )
+                members[name] = Predictor(
+                    scaler=persist.load_scaler(
+                        os.path.join(output_dir, "scaler_clean.npz")
+                    ),
+                    label_encoder=le,
+                    model=persist.load_mlp(
+                        os.path.join(output_dir, "model_mlp_clean_tpu")
+                    ),
+                    cfg=cfg,
+                )
+                classes = le.classes_
             elif name == "mlp_both":
                 le = persist.load_label_encoder(
                     os.path.join(output_dir, "label_encoder.json")
@@ -372,6 +408,8 @@ class EnsemblePredictor:
         """One clip -> {label, proba, members}: denoise ONCE, then each member
         featurizes its own way (the both-features MLP sees the raw AND the
         denoised clip) and the weighted soft-vote combines them."""
+        y = _resample_to(y, sr, self.cfg.features.frontend.sample_rate)
+        sr = self.cfg.features.frontend.sample_rate
         y_raw = y
         if self.denoise_first if denoise is None else denoise:
             y = denoise_clips([y], self.cfg.denoise)[0]

@@ -148,7 +148,24 @@ def decode_mp3(path: str) -> tuple[np.ndarray, int]:
                     chunks.append(bytes(buf[: done.value]))
                 if rc == _MPG123_DONE:
                     break
-                if rc in (_MPG123_OK, _MPG123_NEW_FORMAT, _MPG123_NEED_MORE):
+                if rc == _MPG123_NEW_FORMAT:
+                    # mid-stream format change: re-query so a rate/channel
+                    # switch can't be de-interleaved with stale values —
+                    # refuse rather than silently corrupt (the format list
+                    # passed to mpg123_format above pins float32, so only
+                    # rate/channels can legally change here)
+                    r2, c2, e2 = ctypes.c_long(0), ctypes.c_int(0), ctypes.c_int(0)
+                    lib.mpg123_getformat(
+                        h, ctypes.byref(r2), ctypes.byref(c2), ctypes.byref(e2)
+                    )
+                    if (r2.value, c2.value) != (rate.value, channels.value):
+                        raise RuntimeError(
+                            f"mpg123_read({path}): mid-stream format change "
+                            f"{rate.value}Hz/{channels.value}ch -> "
+                            f"{r2.value}Hz/{c2.value}ch is unsupported"
+                        )
+                    continue
+                if rc in (_MPG123_OK, _MPG123_NEED_MORE):
                     if rc == _MPG123_NEED_MORE and not done.value:
                         break  # truncated file: keep what we decoded
                     continue

@@ -170,12 +170,17 @@ def sharded_batch_fn(batch_fn, n_dev: int):
     rule; XLA would replicate or gather instead of running one kernel per
     chip).  Per-clip independence means no collectives are needed
     (SURVEY.md §2.3)."""
-    key = (
-        getattr(batch_fn, "func", batch_fn),
-        tuple(sorted(getattr(batch_fn, "keywords", {}).items())),
-        n_dev,
-    )
-    fn = _SHARDED_FNS.get(key)
+    try:
+        key = (
+            getattr(batch_fn, "func", batch_fn),
+            tuple(sorted(getattr(batch_fn, "keywords", {}).items())),
+            n_dev,
+        )
+        fn = _SHARDED_FNS.get(key)
+    except TypeError:
+        # unhashable bound kwarg (e.g. an array default): degrade to an
+        # uncached wrap rather than raising at the cache lookup
+        key, fn = None, None
     if fn is None:
         from jax.sharding import Mesh, PartitionSpec as P
 
@@ -187,7 +192,8 @@ def sharded_batch_fn(batch_fn, n_dev: int):
                 check_vma=False,
             )
         )
-        _SHARDED_FNS[key] = fn
+        if key is not None:
+            _SHARDED_FNS[key] = fn
     return fn
 
 

@@ -273,7 +273,7 @@ def extract_corpus(
 def _evaluate_models(models: dict, X_tr, y_tr, X_te, y_te, set_name, out_dir, class_names):
     """Fit/predict/metrics for one dataset — engine A inner loop
     (ref: pipeline1.py:508-531)."""
-    metrics_rows, probs, preds = [], {}, {}
+    metrics_rows, probs, preds, cm_svgs = [], {}, {}, []
     for name, model in models.items():
         t0 = time.time()
         try:
@@ -295,6 +295,7 @@ def _evaluate_models(models: dict, X_tr, y_tr, X_te, y_te, set_name, out_dir, cl
         evals.write_confusion_csv(
             os.path.join(out_dir, f"confusion_{set_name}_{name}.csv"), cm, class_names
         )
+        cm_svgs.append((name, cm))
         rep = evals.classification_report_dict(y_te, p, class_names)
         evals.write_classification_report_csv(
             os.path.join(out_dir, f"class_report_{set_name}_{name}.csv"), rep
@@ -302,6 +303,16 @@ def _evaluate_models(models: dict, X_tr, y_tr, X_te, y_te, set_name, out_dir, cl
     # per-class ROC/AUC across models (ref plot_roc) + HTML export
     # (ref: pipeline1.py:553,563 write roc_{before,after}.html)
     from stutter_tpu import report
+
+    # per-model confusion heatmaps (ref renders these with Plotly imshow,
+    # pipeline1.py:570-600) — one HTML per dataset beside the CSVs
+    if cm_svgs:
+        report.write_html(
+            os.path.join(out_dir, f"confusion_{set_name}.html"),
+            f"Confusion Matrices ({set_name})",
+            [report.confusion_svg(cm, class_names, f"{name} ({set_name})")
+             for name, cm in cm_svgs],
+        )
 
     auc_rows, roc_rows, curves = [], [], []
     for name, pr in probs.items():
@@ -449,7 +460,10 @@ def run_cv(
     the transformer in the pool the weight search attracts weight to every
     MLP member and drags the vote, 74.6% vs 75.2% CV), 'both' (raw+clean
     concatenation) or 'clean'; 'both' falls back to clean-only when raw
-    features are undecodable.
+    features are undecodable.  Either member is refit + persisted on the
+    seq clip subset under its own artifact pair
+    (model_mlp_{both,clean}_tpu + scaler_{both,clean}.npz) so serving loads
+    exactly what the vote weights were searched on.
     seq_archs: sequence members of the CV table and the weighted vote
     (r3 sweep: the cnn / cnn_bilstm / transformer / transformer_lr1e3 quad
     is the headline — 75.8% nested / 75.25% uniform, beating the trio at
@@ -577,7 +591,11 @@ def run_cv(
         from stutter_tpu.train.ensemble import nested_weighted_vote
 
         t0 = time.time()
-        mlp_name, X_seq, scaler_seq = "mlp", None, None
+        # The clean-only member gets its OWN name, scaler and refit artifact
+        # ("mlp_clean": trained on the seq clip subset's features) — serving
+        # must load the exact member the vote weights were searched on, not
+        # engine B's full-corpus MLP (different row set / scaler / dims).
+        mlp_name, X_seq, scaler_seq = "mlp_clean", None, None
         if ensemble_mlp == "both":
             # cached per-file features (raw + clean) joined by stem — cache
             # hits make this near-free, and the member sees the exact vectors
@@ -628,13 +646,19 @@ def run_cv(
                 arch, clips, y_seq, len(class_names), default_train_cfg(arch, seq_epochs)
             )
             persist_seq_head(out_dir, arch, params_a, mean_a, std_a, class_names)
-        if ensemble_mlp != "none" and mlp_name == "mlp_both":
-            # the both-features member needs its own scaler + refit MLP
-            fitted_both = fit_mlp(
+        if ensemble_mlp != "none":
+            # every MLP member needs its own scaler + refit on the seq subset
+            # (model_mlp_{both,clean}_tpu + scaler_{both,clean}.npz)
+            fitted_m = fit_mlp(
                 Xs_seq, y_seq, MLPTrainConfig(n_classes=len(class_names))
             )
-            persist.save_mlp(os.path.join(out_dir, "model_mlp_both_tpu"), fitted_both)
-            persist.save_scaler(os.path.join(out_dir, "scaler_both.npz"), scaler_seq)
+            suffix = mlp_name.removeprefix("mlp_")
+            persist.save_mlp(
+                os.path.join(out_dir, f"model_mlp_{suffix}_tpu"), fitted_m
+            )
+            persist.save_scaler(
+                os.path.join(out_dir, f"scaler_{suffix}.npz"), scaler_seq
+            )
         avg_w = {
             name: float(np.mean([w[name] for w in vote_weights]))
             for name in vote_weights[0]
@@ -726,6 +750,7 @@ def run_cv(
             single.update(z)
         except ImportError:
             pass
+    cm_svgs = []
     for name, model in single.items():
         try:
             model.fit(Xs[tr], y[tr])
@@ -733,8 +758,17 @@ def run_cv(
             evals.write_confusion_csv(
                 os.path.join(out_dir, f"confusion_{name}.csv"), cm, class_names
             )
+            cm_svgs.append((name, cm))
         except Exception as e:  # noqa: BLE001
             log.error("single-split confusion failed for %s: %s", name, e)
+    # heatmap renders beside the CSVs (ref: pipeline1.py:570-600 / the
+    # main.py engine's st.plotly_chart confusion figures)
+    if cm_svgs:
+        report.write_html(
+            os.path.join(out_dir, "confusion_matrices.html"),
+            "Confusion Matrices (single split)",
+            [report.confusion_svg(cm, class_names, name) for name, cm in cm_svgs],
+        )
 
     return {"final_rows": final_rows, "classes": class_names, "scaler": scaler, "le": le,
             "mlp": fitted}

@@ -4,7 +4,10 @@ The reference serves predictions through a Streamlit sidebar upload widget
 (ref: main.py:1011-1035).  The framework equivalent is a small HTTP server
 over the Predictor:
 
-  POST /predict            body: WAV bytes -> {"label": ..., "proba": {...}}
+  POST /predict            body: audio bytes (WAV, mp3, or any registered
+                           codec; sniffed by magic bytes like the reference's
+                           wav/mp3/m4a uploader, main1.py:953-954)
+                           -> {"label": ..., "proba": {...}}
   POST /predict?denoise=0  skip the spectral gate
   POST /predict?model=cnn  route to a loaded sequence head (serve --seq-arch)
   POST /stream?window=3&hop=1   long WAV -> [{start_s, end_s, label, proba}]
@@ -26,21 +29,38 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from stutter_tpu.infer import Predictor
-from stutter_tpu.io.wav import read_wav
 
 
-def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
-    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+def _sniff_suffix(data: bytes) -> str:
+    """Magic-byte container sniff so uploads route to the right decoder —
+    the reference's uploader accepts wav/mp3/m4a (ref: main1.py:953-954).
+
+    RIFF -> .wav; ID3 tag or an MPEG frame sync (0xFF 0xE0 mask) -> .mp3;
+    an ISO-BMFF 'ftyp' box -> .m4a (decoded only via a registered hook,
+    stutter_tpu.io.decode).  Unknown bytes default to .wav so the error
+    message comes from the WAV parser.
+    """
+    if data[:4] == b"RIFF":
+        return ".wav"
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return ".mp3"
+    if data[4:8] == b"ftyp":
+        return ".m4a"
+    return ".wav"
+
+
+def _decode_audio_bytes(data: bytes, target_sr: int) -> np.ndarray:
+    """Upload body -> mono float32 PCM at target_sr via the same pluggable
+    decode path the CLI and predict_file use (io.decode: WAV built-in, mp3
+    via libmpg123, anything else via registered hooks)."""
+    from stutter_tpu.io.decode import decode_audio
+
+    with tempfile.NamedTemporaryFile(suffix=_sniff_suffix(data)) as tmp:
         tmp.write(data)
         tmp.flush()
-        y, sr = read_wav(tmp.name)
-    if y.ndim == 2:
-        y = y.mean(axis=1)
-    if sr != target_sr:
-        from stutter_tpu.ops.resample import resample
-
-        y = resample(y, sr, target_sr)
-    return y.astype(np.float32)
+        return decode_audio(tmp.name, target_sr)
 
 
 MAX_UPLOAD_BYTES = 100 * 1024 * 1024  # reject oversized uploads before reading
@@ -100,7 +120,7 @@ def make_handler(
                 return
             try:
                 data = self.rfile.read(length)
-                y = _decode_wav_bytes(data, sr)
+                y = _decode_audio_bytes(data, sr)
             except Exception as e:  # noqa: BLE001
                 self._send(400, {"error": f"bad audio: {e}"})
                 return

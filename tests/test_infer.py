@@ -42,6 +42,20 @@ def test_shape_guard(predictor, rng):
         bad.predict_clip((rng.randn(16000) * 0.2).astype(np.float32))
 
 
+def test_predict_clip_resamples(predictor, rng):
+    """A library caller passing non-16k audio gets it resampled, not silently
+    mis-featurized: predict_clip(y, 8000) == predict_clip(resample(y), 16000)."""
+    from stutter_tpu.ops.resample import resample
+
+    y8 = (rng.randn(8000) * 0.2).astype(np.float32)
+    r_direct = predictor.predict_clip(y8, sr=8000)
+    y16 = resample(y8, 8000, 16000).astype(np.float32)
+    r_manual = predictor.predict_clip(y16, sr=16000)
+    assert r_direct["label"] == r_manual["label"]
+    for c in r_direct["proba"]:
+        assert abs(r_direct["proba"][c] - r_manual["proba"][c]) < 1e-5
+
+
 def test_streaming_windows(predictor, rng):
     y = (rng.randn(16000 * 8) * 0.2).astype(np.float32)
     wins = predictor.predict_stream(y, window_s=3.0, hop_s=2.0, batch_size=2)
@@ -96,7 +110,15 @@ def test_ensemble_predictor_unit(tmp_path, rng):
         os.path.join(out, "model_mlp_both_tpu"),
         fit_mlp(Xb, y, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1, n_classes=2)),
     )
-    weights = {"mlp": 0.3, "mlp_both": 0.2, "cnn": 0.3, "cnn_bilstm": 0.2}
+    # dedicated clean-features member (r4: its own scaler + refit artifact,
+    # NOT engine B's full-corpus MLP)
+    persist.save_scaler(os.path.join(out, "scaler_clean.npz"), StandardScaler.fit(X))
+    persist.save_mlp(
+        os.path.join(out, "model_mlp_clean_tpu"),
+        fit_mlp(X, y, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1, n_classes=2)),
+    )
+    weights = {"mlp": 0.2, "mlp_clean": 0.1, "mlp_both": 0.2, "cnn": 0.3,
+               "cnn_bilstm": 0.2}
     json.dump(
         {"weights": weights, "classes": classes},
         open(os.path.join(out, "ensemble.json"), "w"),

@@ -66,6 +66,36 @@ def test_predict_resamples(server, rng):
     assert r["label"] in {"neg", "pos"}
 
 
+def test_predict_mp3_upload(server, rng):
+    """POST an mp3 body: the magic-byte sniff routes it through the built-in
+    mpg123 decoder (the reference's uploader accepts wav/mp3/m4a,
+    main1.py:953-954)."""
+    import ctypes
+    import os
+    import tempfile
+
+    from stutter_tpu.io import mp3
+
+    if not mp3.available():
+        pytest.skip("libmpg123 absent")
+    try:
+        ctypes.CDLL("libmp3lame.so.0")
+    except OSError:
+        pytest.skip("libmp3lame absent")
+    from test_mp3 import _lame_encode
+
+    with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+        path = f.name
+    _lame_encode((rng.randn(16000) * 0.2).astype(np.float32), 16000, path)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    assert data[:3] == b"ID3" or (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0)
+    req = urllib.request.Request(server + "/predict?denoise=0", data=data, method="POST")
+    r = json.loads(urllib.request.urlopen(req).read())
+    assert r["label"] in {"neg", "pos"}
+    assert abs(sum(r["proba"].values()) - 1) < 1e-5
+
+
 def test_bad_payload_400(server):
     req = urllib.request.Request(server + "/predict", data=b"not a wav", method="POST")
     with pytest.raises(urllib.error.HTTPError) as e:
