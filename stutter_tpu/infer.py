@@ -304,6 +304,63 @@ class _BothFeatsMLP:
         return {"proba": {c: float(p) for c, p in zip(self.classes_, proba)}}
 
 
+def _ensemble_seq_fused_impl(
+    audio, length, params_list, norms, *, specs, dn_cfg, denoise, t_max, sr
+):
+    """One dispatch for the whole sequence-member vote: gate -> shared
+    featurization (log-mel computed once for every log-mel member, the MFCC
+    stack once) -> every member forward.  Returns [M, B, C] member probs.
+
+    The serial path costs ~9 tunneled dispatches per request for the quad
+    (denoise + per-member featurize + per-member forward, each paying
+    host<->device latency); fusing them into one jit makes the headline
+    ensemble interactively servable like the reference's production model
+    (ref: main1.py:988-995).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stutter_tpu.denoise import denoise_batch
+    from stutter_tpu.train.seq_trainer import _featurize_seq
+
+    if denoise:
+        audio = denoise_batch(audio, length, dn_cfg)
+    feats: dict = {}
+    for kind in sorted({k for k, _ in specs}):
+        f, mask = _featurize_seq(audio, length, kind, sr)
+        T = f.shape[1]
+        if T >= t_max:
+            f = f[:, :t_max]
+        else:
+            f = jnp.pad(f, ((0, 0), (0, t_max - T), (0, 0)))
+        nv = jnp.minimum(mask.sum(axis=1).astype(jnp.int32), t_max)
+        feats[kind] = (f, nv)
+    probs = []
+    for (kind, apply_fn), params, (mean, std) in zip(specs, params_list, norms):
+        f, nv = feats[kind]
+        mb = jnp.arange(t_max)[None, :] < nv[:, None]
+        xs = ((f - mean) / std * mb[:, :, None]).astype(jnp.float32)
+        probs.append(jax.nn.softmax(apply_fn(params, xs, mb), -1))
+    return jnp.stack(probs)
+
+
+_ENSEMBLE_FUSED = None
+
+
+def _ensemble_seq_fused():
+    """Lazily-jitted module-level wrapper (a per-call jit would retrace every
+    request; the jax import stays lazy for module import speed)."""
+    global _ENSEMBLE_FUSED
+    if _ENSEMBLE_FUSED is None:
+        import jax
+
+        _ENSEMBLE_FUSED = jax.jit(
+            _ensemble_seq_fused_impl,
+            static_argnames=("specs", "dn_cfg", "denoise", "t_max", "sr"),
+        )
+    return _ENSEMBLE_FUSED
+
+
 @dataclasses.dataclass
 class EnsemblePredictor:
     """Serving wrapper for the nested weighted soft-vote — the framework's
@@ -405,24 +462,72 @@ class EnsemblePredictor:
     def predict_clip(
         self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None
     ) -> dict:
-        """One clip -> {label, proba, members}: denoise ONCE, then each member
-        featurizes its own way (the both-features MLP sees the raw AND the
-        denoised clip) and the weighted soft-vote combines them."""
+        """One clip -> {label, proba, members}: ONE device dispatch covers the
+        gate and every sequence member (_ensemble_seq_fused: shared
+        featurization + all forwards in one jit); only MLP members — off in
+        the production quad — add further dispatches (the both-features MLP
+        sees the raw AND the denoised clip)."""
+        import jax.numpy as jnp
+
         y = _resample_to(y, sr, self.cfg.features.frontend.sample_rate)
         sr = self.cfg.features.frontend.sample_rate
-        y_raw = y
-        if self.denoise_first if denoise is None else denoise:
-            y = denoise_clips([y], self.cfg.denoise)[0]
-        proba = np.zeros(len(self.classes_), np.float64)
+        do_denoise = self.denoise_first if denoise is None else denoise
+        seq_members = [
+            (n, m) for n, m in self.members.items() if isinstance(m, SeqPredictor)
+        ]
+        others = [
+            (n, m) for n, m in self.members.items() if not isinstance(m, SeqPredictor)
+        ]
         member_out = {}
-        for name, member in self.members.items():
+        y_raw = y
+        if others and do_denoise:
+            # non-seq members need the denoised waveform on host
+            y = denoise_clips([y], self.cfg.denoise)[0]
+        if seq_members:
+            from stutter_tpu.ops.frontend import pad_to_bucket
+            from stutter_tpu.train.seq_pipeline import ARCHS
+
+            src = y if others and do_denoise else y_raw
+            bucket = pad_to_bucket(len(src))
+            audio = np.zeros((1, bucket), np.float32)
+            audio[0, : len(src)] = src[:bucket]
+            lens = np.array([min(len(src), bucket)], np.int32)
+            specs = tuple(
+                (ARCHS[m.arch]["kind"], ARCHS[m.arch]["apply_fn"])
+                for _, m in seq_members
+            )
+            P = np.asarray(
+                _ensemble_seq_fused()(
+                    jnp.asarray(audio),
+                    jnp.asarray(lens),
+                    tuple(m.params for _, m in seq_members),
+                    tuple(
+                        (jnp.asarray(m.mean, jnp.float32),
+                         jnp.asarray(m.std, jnp.float32))
+                        for _, m in seq_members
+                    ),
+                    specs=specs,
+                    dn_cfg=self.cfg.denoise,
+                    # the gate runs inside the fused dispatch unless a host
+                    # denoise already happened for the non-seq members
+                    denoise=bool(do_denoise and not others),
+                    t_max=316,
+                    sr=sr,
+                )
+            )
+            for (name, m), p in zip(seq_members, P[:, 0, :]):
+                member_out[name] = {c: float(v) for c, v in zip(m.classes_, p)}
+        for name, member in others:
             if isinstance(member, _BothFeatsMLP):
                 r = member.predict_pair(y_raw, y)
             else:
                 r = member.predict_clip(y, sr, denoise=False)
-            p = np.array([r["proba"][c] for c in self.classes_])
-            proba += self.weights[name] * p
             member_out[name] = r["proba"]
+        proba = np.zeros(len(self.classes_), np.float64)
+        for name in member_out:
+            proba += self.weights[name] * np.array(
+                [member_out[name][c] for c in self.classes_]
+            )
         proba /= max(proba.sum(), 1e-12)
         pred = int(np.argmax(proba))
         return {

@@ -3,9 +3,13 @@
 Independent CPU implementation of the same algorithm as stutter_tpu.denoise
 (noisereduce.SpectralGateNonStationary semantics): used to cross-validate the
 batched JAX path and as the CPU baseline for denoise throughput comparisons.
-The corpus's pre-denoise audio exists only as mp3 (undecodable here), so the
-committed clear_audio WAVs cannot be regenerated byte-exactly; two
-independent implementations agreeing is the strongest available check.
+
+Ground truth: the committed clear_audio WAVs are REAL noisereduce output
+(ref pipeline1.py:126-146).  With built-in mp3 decode (io/mp3.py) the full
+chain mp3 -> gate -> waveform is golden-validated corpus-wide against them
+(docs/parity/README.md "Denoiser golden parade",
+tests/test_denoise_golden.py); agreement is bounded by the upstream decoder
+delta (mpg123 vs the author's librosa stack), not by the gate.
 """
 
 from __future__ import annotations

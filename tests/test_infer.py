@@ -139,6 +139,35 @@ def test_ensemble_predictor_unit(tmp_path, rng):
     got = np.array([r["proba"][c] for c in classes])
     np.testing.assert_allclose(got, expect, atol=1e-6)
 
+    # fused-path parity: the one-dispatch member probs must equal the serial
+    # SeqPredictor path (same ops, same shapes)
+    from stutter_tpu.infer import SeqPredictor
+
+    for arch in ("cnn", "cnn_bilstm"):
+        serial = SeqPredictor.load(out, arch, PipelineConfig()).predict_clip(
+            clip, 16000, denoise=False
+        )
+        for c in classes:
+            assert abs(r["members"][arch][c] - serial["proba"][c]) < 1e-5
+
+    # seq-only ensemble with the gate INSIDE the fused dispatch: vote must
+    # equal the members' host-denoised serial path
+    json.dump(
+        {"weights": {"cnn": 0.6, "cnn_bilstm": 0.4}, "classes": classes},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+    pred2 = EnsemblePredictor.load(out, PipelineConfig())
+    r2 = pred2.predict_clip(clip, 16000, denoise=True)
+    from stutter_tpu.denoise import denoise_clips
+
+    y_dn = denoise_clips([clip], PipelineConfig().denoise)[0]
+    for arch in ("cnn", "cnn_bilstm"):
+        serial = SeqPredictor.load(out, arch, PipelineConfig()).predict_clip(
+            y_dn, 16000, denoise=False
+        )
+        for c in classes:
+            assert abs(r2["members"][arch][c] - serial["proba"][c]) < 1e-4
+
     # stale-artifact guard: class order mismatch must refuse to load
     json.dump(
         {"weights": weights, "classes": ["pos", "neg"]},
