@@ -17,8 +17,15 @@ Both are bounded below by the decoder delta (mpg123 vs the author's
 librosa/audioread stack, ~1% relative on features — docs/parity raw parade),
 which sits UPSTREAM of the gate, plus the golden's 16-bit quantization.
 
-Run on the TPU host:
-  PYTHONPATH=/root/.axon_site:/root/repo python docs/parity/run_denoise_parade.py
+Run:
+  python docs/parity/run_denoise_parade.py             # CPU oracle gate (no jax)
+  PYTHONPATH=/root/.axon_site:/root/repo \
+  python docs/parity/run_denoise_parade.py --tpu       # fused TPU gate
+
+The two gates agree to 8.8e-6 max deviation (tests/test_pallas.py /
+test_denoise.py), three orders of magnitude under the ~1% decoder delta this
+parade is bounded by, so the oracle mode measures the same distribution
+without paying the tunnel's multi-minute kernel compiles.
 
 Writes docs/parity/denoise_parade.json (per-clip rows + summary).
 """
@@ -36,14 +43,12 @@ OUT = os.path.join(os.path.dirname(__file__), "denoise_parade.json")
 
 
 def main():
-    import jax.numpy as jnp
+    use_tpu = "--tpu" in sys.argv[1:]
 
     from stutter_tpu.config import DenoiseConfig
-    from stutter_tpu.denoise import denoise_batch
     from stutter_tpu.io import mp3
     from stutter_tpu.io.wav import load_mono
     from stutter_tpu.oracle import frontend as OF
-    from stutter_tpu.ops.frontend import DEFAULT_BUCKETS, pad_to_bucket
 
     files = sorted(
         glob.glob(os.path.join(REFERENCE, "segrigated_samples", "**", "*.mp3"),
@@ -88,29 +93,46 @@ def main():
         clips.append(host_resample(y, r, 16000))
     print(f"decoded+resampled in {time.time() - t0:.0f}s", flush=True)
 
-    # Denoise on device: fixed batch 64 per bucket (pad with dummy rows so
-    # every dispatch reuses one compiled shape per bucket).
     cfg = DenoiseConfig()  # prop_decrease=1.0, the pipeline1 protocol
     t0 = time.time()
-    denoised: list[np.ndarray | None] = [None] * len(clips)
-    by_bucket: dict[int, list[int]] = {}
-    for i, y in enumerate(clips):
-        by_bucket.setdefault(pad_to_bucket(len(y), DEFAULT_BUCKETS, cfg.hop_length), []).append(i)
-    B = 64
-    for bucket, idxs in sorted(by_bucket.items()):
-        for s in range(0, len(idxs), B):
-            chunk = idxs[s : s + B]
-            batch = np.zeros((B, bucket), np.float32)
-            lens = np.zeros(B, np.int32)
-            for j, i in enumerate(chunk):
-                y = clips[i][:bucket]
-                batch[j, : len(y)] = y
-                lens[j] = len(y)
-            out = np.asarray(denoise_batch(jnp.asarray(batch), jnp.asarray(lens), cfg))
-            for j, i in enumerate(chunk):
-                denoised[i] = out[j, : lens[j]]
-        print(f"bucket {bucket}: {len(idxs)} clips done ({time.time()-t0:.0f}s)",
-              flush=True)
+    if use_tpu:
+        # Denoise on device: fixed batch 64 per bucket (pad with dummy rows
+        # so every dispatch reuses one compiled shape per bucket).
+        import jax.numpy as jnp
+
+        from stutter_tpu.denoise import denoise_batch
+        from stutter_tpu.ops.frontend import DEFAULT_BUCKETS, pad_to_bucket
+
+        denoised: list[np.ndarray | None] = [None] * len(clips)
+        by_bucket: dict[int, list[int]] = {}
+        for i, y in enumerate(clips):
+            by_bucket.setdefault(pad_to_bucket(len(y), DEFAULT_BUCKETS), []).append(i)
+        B = 64
+        for bucket, idxs in sorted(by_bucket.items()):
+            for s in range(0, len(idxs), B):
+                chunk = idxs[s : s + B]
+                batch = np.zeros((B, bucket), np.float32)
+                lens = np.zeros(B, np.int32)
+                for j, i in enumerate(chunk):
+                    y = clips[i][:bucket]
+                    batch[j, : len(y)] = y
+                    lens[j] = len(y)
+                out = np.asarray(
+                    denoise_batch(jnp.asarray(batch), jnp.asarray(lens), cfg)
+                )
+                for j, i in enumerate(chunk):
+                    denoised[i] = out[j, : lens[j]]
+            print(f"bucket {bucket}: {len(idxs)} clips done ({time.time()-t0:.0f}s)",
+                  flush=True)
+    else:
+        from stutter_tpu.oracle.denoise import denoise_clip
+
+        denoised = []
+        for i, y in enumerate(clips):
+            denoised.append(denoise_clip(y, cfg))
+            if (i + 1) % 200 == 0:
+                print(f"oracle gate: {i + 1}/{len(clips)} ({time.time()-t0:.0f}s)",
+                      flush=True)
 
     rows = []
     t0 = time.time()
