@@ -153,8 +153,11 @@ def measure_stream_tpu(duration_s: int = 600, window_s: float = 3.0,
     )
     sr = 16000
     y = (rng.randn(duration_s * sr) * 0.1).astype(np.float32)
-    # warm the compile on a short slice, then time the long clip
-    pred.predict_stream(y[: 40 * sr], sr, window_s=window_s, hop_s=hop_s)
+    # warm the compile on a slice long enough to hit the full 256-window
+    # batch shape (short requests route to smaller power-of-2 batch buckets,
+    # so a short warm slice would leave the 256 shape cold and the timed run
+    # would pay its compile)
+    pred.predict_stream(y[: 300 * sr], sr, window_s=window_s, hop_s=hop_s)
     t0 = time.time()
     wins = pred.predict_stream(y, sr, window_s=window_s, hop_s=hop_s)
     dt = time.time() - t0

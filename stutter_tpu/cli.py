@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                         "cnn/bilstm/transformer trio is the 75.2%%-CV "
                         "headline; MLP members attract weight and drag it), "
                         "raw+clean concat, or clean-only")
+    p.add_argument("--seq-tta-crop", type=int, default=0,
+                   help="prediction-time augmentation comparison: ALSO score "
+                        "each seq head + the vote with start/end-cropped "
+                        "views of this many frames averaged in (extra +TTA "
+                        "rows; artifacts stay baseline)")
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
     p = sub.add_parser("train-seq", help="train one sequence head (CNN / "
@@ -149,7 +154,8 @@ def main(argv: list[str] | None = None) -> int:
         res = run_cv(args.root, cfg, include_host=not args.no_host,
                      feature_set=args.features, include_seq=args.seq,
                      labels_taxonomy=args.labels, seq_seeds=args.seq_seeds,
-                     ensemble_mlp=args.ensemble_mlp)
+                     ensemble_mlp=args.ensemble_mlp,
+                     seq_tta_crops=(args.seq_tta_crop,) if args.seq_tta_crop else ())
         for row in res["final_rows"]:
             print(
                 f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '

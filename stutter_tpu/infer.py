@@ -140,6 +140,13 @@ class Predictor:
         win = -(-win // 512) * 512  # hop-multiple bucket
         hop = int(hop_s * sr)
         starts = list(range(0, max(len(y) - win // 2, 1), hop))
+        # Batch bucket sized to the request: a short clip must not pay for a
+        # full batch_size of padded frontend work (a 4-window request padded
+        # to 256 costs 64x the compute — ~150 s/request on the 1-core CPU
+        # backend, measured).  Power-of-2 buckets keep the set of compiled
+        # shapes small (8, 16, ..., batch_size) across a server's lifetime.
+        if len(starts) < batch_size:
+            batch_size = max(8, 1 << (len(starts) - 1).bit_length())
         results: list[dict] = []
         pending = []  # (starts_chunk, device_future)
 

@@ -445,6 +445,7 @@ def run_cv(
     seq_epochs: int = 80,
     ensemble_mlp: str = "none",
     seq_archs: tuple = ("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3"),
+    seq_tta_crops: tuple = (),
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
@@ -467,7 +468,13 @@ def run_cv(
     seq_archs: sequence members of the CV table and the weighted vote
     (r3 sweep: the cnn / cnn_bilstm / transformer / transformer_lr1e3 quad
     is the headline — 75.8% nested / 75.25% uniform, beating the trio at
-    every weight-grid step; the cnn+bilstm pair was 74.4%)."""
+    every weight-grid step; the cnn+bilstm pair was 74.4%).
+    seq_tta_crops: non-empty runs a prediction-time-augmentation COMPARISON
+    from the same trained grids: per arch a '<ARCH>-TPU+TTA' row (identity +
+    start/end-cropped views averaged, cross_validate_seq tta_crops) plus a
+    'Weighted-Vote-TPU+TTA' row, next to the unchanged baseline rows.
+    Artifacts (ensemble.json, refit heads) always follow the baseline
+    protocol — TTA is an experiment knob, not the production path."""
     from stutter_tpu import persist
 
     out_dir = os.path.join(root, cfg.data.output_dir)
@@ -566,14 +573,27 @@ def run_cv(
         y_seq = le.transform(seq_labels)
         seq_folds = stratified_kfold(y_seq, cfg.train.n_folds, cfg.train.seed)
         seq_probas: dict[str, np.ndarray] = {}
+        seq_probas_tta: dict[str, np.ndarray] = {}
         for arch in seq_archs:
             t0 = time.time()
             seq_tc = default_train_cfg(arch, seq_epochs)
+            vp: list | None = [] if seq_tta_crops else None
             pred_s, proba_s = cross_validate_seq(
                 arch, clips, y_seq, seq_folds, len(class_names), seq_tc,
-                n_seeds=seq_seeds,
+                n_seeds=seq_seeds, tta_crops=seq_tta_crops, view_probas=vp,
             )
-            seq_probas[arch] = proba_s
+            if seq_tta_crops:
+                # identity view stays the production protocol; the
+                # TTA-averaged probabilities get their own comparison row
+                seq_probas[arch] = vp[0]
+                seq_probas_tta[arch] = proba_s
+                pred_s = vp[0].argmax(-1)
+                final_rows.append(
+                    cv_row(f"{arch.upper()}-TPU+TTA", y_seq,
+                           proba_s.argmax(-1), seq_folds)
+                )
+            else:
+                seq_probas[arch] = proba_s
             final_rows.append(cv_row(f"{arch.upper()}-TPU", y_seq, pred_s, seq_folds))
             log.info("%s CV done in %.1fs: acc=%.1f%%", arch, time.time() - t0,
                      final_rows[-1]["Accuracy (%)"])
@@ -629,6 +649,13 @@ def run_cv(
             )
         pred_v, _, vote_weights = nested_weighted_vote(seq_probas, y_seq, seq_folds)
         final_rows.append(cv_row("Weighted-Vote-TPU", y_seq, pred_v, seq_folds))
+        if seq_tta_crops:
+            if ensemble_mlp != "none":
+                seq_probas_tta[mlp_name] = seq_probas[mlp_name]
+            pred_vt, _, _ = nested_weighted_vote(seq_probas_tta, y_seq, seq_folds)
+            final_rows.append(
+                cv_row("Weighted-Vote-TPU+TTA", y_seq, pred_vt, seq_folds)
+            )
         with open(os.path.join(out_dir, "ensemble_weights.json"), "w") as f:
             json.dump(vote_weights, f, indent=1)
         log.info("weighted vote done in %.1fs: acc=%.1f%%", time.time() - t0,

@@ -113,6 +113,8 @@ def cross_validate_seq(
     train_cfg: SeqTrainConfig = SeqTrainConfig(epochs=80, batch_size=64),
     n_seeds: int = 1,
     grid_chunk: int = 5,
+    tta_crops: tuple = (),
+    view_probas: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """K-fold CV for a sequence head; returns (y_pred, y_proba) in row order.
 
@@ -129,7 +131,15 @@ def cross_validate_seq(
     standardization stats (train rows only — no leakage).  n_seeds > 1
     soft-votes the out-of-fold probabilities of independently-initialized
     members (seeds train_cfg.seed .. +n_seeds-1), which adds ~1pt CV on the
-    reference corpus."""
+    reference corpus.
+    tta_crops: prediction-time augmentation — for each crop size c (frames),
+    ALSO evaluate a start-cropped view (features shifted left by c, c fewer
+    valid frames) and an end-cropped view (last c valid frames masked) of
+    every clip and average the probabilities with the identity view.  Each
+    crop adds 2 extra forward passes per grid chunk (training untouched).
+    view_probas: pass a list to ALSO receive each view's own fold-voted
+    out-of-fold probabilities ([N, C] per view, identity first) — lets one
+    training run compare identity vs TTA-averaged predictions."""
     from stutter_tpu.train.seq_trainer import predict_seq_grid, train_seq_grid
     from stutter_tpu.train.trainer import shard_grid
 
@@ -159,8 +169,16 @@ def cross_validate_seq(
     while G % chunk:
         chunk -= 1
 
+    views = [(X, nv)]
+    for c in tta_crops:
+        X_start = np.concatenate(
+            [X[:, c:], np.zeros((N, c, D), X.dtype)], axis=1
+        )
+        views.append((X_start, np.maximum(nv - c, 1)))  # start-cropped
+        views.append((X, np.maximum(nv - c, 1)))  # end-cropped
+
     Xd, nvd, yd = jnp.asarray(X), jnp.asarray(nv), jnp.asarray(y)
-    probs = np.zeros((G, N, n_classes), np.float32)
+    probs = np.zeros((len(views), G, N, n_classes), np.float32)
     for g0 in range(0, G, chunk):
         g1 = g0 + chunk
         wd, mg, sg, sd = shard_grid(
@@ -173,16 +191,22 @@ def cross_validate_seq(
             init_items=tuple(sorted(spec["init_kwargs"](n_classes).items())),
             n_classes=n_classes, cfg=train_cfg, n_train=n_train,
         )
-        probs[g0:g1] = predict_seq_grid(
-            spec["apply_fn"], params, X, nv, mean_g[g0:g1], std_g[g0:g1],
-            batch=64,
-        )
+        for v, (Xv, nvv) in enumerate(views):
+            probs[v, g0:g1] = predict_seq_grid(
+                spec["apply_fn"], params, Xv, nvv,
+                mean_g[g0:g1], std_g[g0:g1], batch=64,
+            )
 
-    # Gather each fold's held-out rows and soft-vote over its seeds.
-    probs = probs.reshape(K, n_seeds, N, -1).mean(axis=1)
-    y_proba = np.zeros((N, n_classes), np.float32)
+    # Gather each fold's held-out rows and soft-vote over its seeds,
+    # per view; the returned proba averages the views (== identity when
+    # tta_crops is empty).
+    probs = probs.reshape(len(views), K, n_seeds, N, -1).mean(axis=2)
+    per_view = np.zeros((len(views), N, n_classes), np.float32)
     for k, (_, te) in enumerate(folds):
-        y_proba[te] = probs[k][te]
+        per_view[:, te] = probs[:, k][:, te]
+    if view_probas is not None:
+        view_probas.extend(per_view)
+    y_proba = per_view.mean(axis=0)
     return y_proba.argmax(-1), y_proba
 
 

@@ -238,3 +238,60 @@ def test_seq_grid_trainer_matches_serial_quality(rng):
     for k, (_, te) in enumerate(folds):
         seed_vote = probs[k * n_seeds : (k + 1) * n_seeds, te].mean(axis=0)
         assert (seed_vote.argmax(-1) == y[te]).mean() > 0.85
+
+
+def test_cross_validate_seq_tta_views(rng, monkeypatch):
+    """tta_crops adds start/end-cropped prediction views: view_probas gets
+    1 + 2*len(crops) fold-voted [N, C] arrays (identity first), the returned
+    proba is their mean, and the cropped views really see shifted features /
+    shorter masks (checked via a monkeypatched predict_seq_grid)."""
+    from stutter_tpu.train import seq_pipeline
+    from stutter_tpu.train.seq_trainer import SeqTrainConfig
+
+    n, T, D, C = 8, 12, 5, 2
+    X = rng.randn(n, T, D).astype(np.float32)
+    nv = np.full(n, T, np.int32)
+    y = np.array([0, 1] * (n // 2))
+    clips = [np.zeros(100, np.float32)] * n  # featurization is stubbed out
+    folds = [(np.arange(4), np.arange(4, 8)), (np.arange(4, 8), np.arange(4))]
+
+    monkeypatch.setattr(
+        seq_pipeline, "prepare_sequence_dataset", lambda c, kind: (X, nv)
+    )
+    from stutter_tpu.train import seq_trainer
+
+    monkeypatch.setattr(
+        seq_trainer, "train_seq_grid",
+        lambda *a, **k: {"dummy": jnp.zeros((a[3].shape[0], 1))},
+    )
+    seen = []
+
+    def fake_predict(apply_fn, params, Xv, nvv, mean, std, batch=64):
+        seen.append((np.asarray(Xv).copy(), np.asarray(nvv).copy()))
+        g = mean.shape[0]
+        # deterministic distinct probs per view so the mean is checkable
+        p = np.full((g, n, C), 0.5, np.float32)
+        p[:, :, 0] += 0.1 * (len(seen) - 1)
+        return p / p.sum(-1, keepdims=True)
+
+    monkeypatch.setattr(seq_trainer, "predict_seq_grid", fake_predict)
+
+    vp: list = []
+    crop = 3
+    pred, proba = seq_pipeline.cross_validate_seq(
+        "cnn_bilstm", clips, y, folds, C,
+        SeqTrainConfig(epochs=1, batch_size=4), n_seeds=1,
+        tta_crops=(crop,), view_probas=vp,
+    )
+    assert len(vp) == 3 and proba.shape == (n, C)
+    np.testing.assert_allclose(proba, np.mean(vp, axis=0), atol=1e-6)
+    np.testing.assert_allclose(proba.sum(-1), 1.0, atol=1e-5)
+    # per grid chunk the 3 views arrive in order: identity, start-crop, end-crop
+    Xi, nvi = seen[0]
+    Xs, nvs = seen[1]
+    Xe, nve = seen[2]
+    np.testing.assert_array_equal(Xi, X)
+    assert (nvi == T).all() and (nvs == T - crop).all() and (nve == T - crop).all()
+    np.testing.assert_array_equal(Xs[:, : T - crop], X[:, crop:])
+    assert (Xs[:, T - crop :] == 0).all()
+    np.testing.assert_array_equal(Xe, X)
