@@ -164,6 +164,48 @@ def measure_stream_tpu(duration_s: int = 600, window_s: float = 3.0,
     return len(wins) / dt
 
 
+def measure_ensemble_tpu(n_reqs: int = 20) -> float:
+    """p50 single-request latency (ms) of the HEADLINE model: the weighted-vote
+    quad (cnn + cnn_bilstm + transformer x2 recipes) through
+    EnsemblePredictor.predict_clip — gate + shared featurization + all member
+    forwards fused into ONE device dispatch (infer._ensemble_seq_fused).
+    Members are init-weight heads of the production shapes: latency depends on
+    shapes/graphs only, so the bench stays self-contained (the real artifacts
+    reproduce the same number, docs/experiments_r4.md)."""
+    import jax
+
+    from stutter_tpu.config import PipelineConfig
+    from stutter_tpu.infer import EnsemblePredictor, SeqPredictor
+    from stutter_tpu.train.seq_pipeline import ARCHS
+
+    cfg = PipelineConfig()
+    classes = ["b", "p", "w"]
+    key = jax.random.PRNGKey(0)
+    members, weights = {}, {"cnn": 0.35, "cnn_bilstm": 0.2,
+                            "transformer": 0.15, "transformer_lr1e3": 0.3}
+    for arch in weights:
+        spec = ARCHS[arch]
+        kw = spec["init_kwargs"](len(classes))
+        D = kw.get("n_mels", kw.get("in_dim"))
+        members[arch] = SeqPredictor(
+            arch=arch, kind=spec["kind"],
+            params=spec["init_fn"](key, **kw),
+            mean=np.zeros(D, np.float32), std=np.ones(D, np.float32),
+            classes_=classes, cfg=cfg,
+        )
+    pred = EnsemblePredictor(members=members, weights=weights,
+                             classes_=classes, cfg=cfg)
+    rng = np.random.RandomState(0)
+    y = (rng.randn(48000) * 0.1).astype(np.float32)
+    pred.predict_clip(y)  # compile + warm (3 s bucket)
+    lat = []
+    for _ in range(n_reqs):
+        t0 = time.time()
+        pred.predict_clip(y)
+        lat.append(time.time() - t0)
+    return float(np.median(lat) * 1e3)
+
+
 def measure_denoise_cpu(n_clips: int = 8) -> float:
     """Single-threaded CPU reference path: per-clip oracle spectral gate."""
     from stutter_tpu.oracle.denoise import denoise_clip
@@ -204,6 +246,7 @@ def main() -> int:
     den_cpu = measure_denoise_cpu()
     den_tpu, den_dt = measure_denoise_tpu()
     stream_rate = measure_stream_tpu()
+    ens_ms = measure_ensemble_tpu()
     fe_flops = frontend_flops(256, 49152)
     dn_flops, dn_bytes = denoise_flops_bytes(256, 49152)
     print(
@@ -216,6 +259,7 @@ def main() -> int:
                 "denoise_clips_per_s": round(den_tpu, 1),
                 "denoise_vs_baseline": round(den_tpu / den_cpu, 1),
                 "stream_windows_per_s": round(stream_rate, 1),
+                "ensemble_p50_ms_per_request": round(ens_ms, 1),
                 # roofline: achieved fraction of v5e bf16-MXU peak on the
                 # dominant GEMM terms (underestimates occupancy: VPU scans /
                 # elementwise excluded) and of HBM bandwidth
