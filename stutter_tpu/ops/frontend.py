@@ -135,12 +135,24 @@ def extract_features_149_batch(
 
     if tb is None:
         tb = estimate_tuning_bin(power, sr, n_fft, n_chroma=n_chroma)
-    ch = chroma_from_power(power, tb, sr, n_fft, n_chroma)
+    if _use_pallas(pallas):
+        # Fused chroma-apply + stats kernel: the power spectrogram's only
+        # remaining HBM consumer reads it exactly once (the XLA chain below
+        # costs ~4 HBM passes over [B, T, K] + temps).
+        from stutter_tpu.ops.pallas_chroma import chroma_stats_pallas
+
+        ch_stats = chroma_stats_pallas(
+            power, tb, n_valid, sr=sr, n_fft=n_fft, n_chroma=n_chroma,
+            interpret=interpret,
+        )
+    else:
+        ch = chroma_from_power(power, tb, sr, n_fft, n_chroma)
+        ch_stats = _stat_pair(ch, mask)
 
     feats = jnp.concatenate(
         [
             mfcc_stats,
-            _stat_pair(ch, mask),
+            ch_stats,
             jnp.zeros((audio.shape[0], 5), jnp.float32),
         ],
         axis=-1,

@@ -110,3 +110,43 @@ def test_spectromel_kernel_tuning_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb_ref))
     # silent clip takes librosa's no-candidate fallback (tuning 0.0 = bin 50)
     assert np.asarray(tb)[3] == 50
+
+def test_chroma_stats_kernel_matches_xla(rng):
+    """Fused chroma-apply+stats kernel == table-gather einsum + inf-norm +
+    masked mean/std (the XLA tail it replaces), incl. tonal / noise / short /
+    silent clips and a forced spread of tuning bins."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.chroma import chroma_from_power
+    from stutter_tpu.ops.masked import frame_mask, masked_mean_std
+    from stutter_tpu.ops.pallas_chroma import chroma_stats_pallas
+    from stutter_tpu.ops.spectral import power_spectrogram
+
+    t = np.arange(24576) / 16000.0
+    rows = [
+        0.5 * np.sin(2 * np.pi * 220.7 * t) + 0.05 * rng.randn(24576),
+        0.3 * rng.randn(24576),
+        0.4 * np.sin(2 * np.pi * 452.2 * t),
+        np.zeros(24576),
+    ]
+    audio = jnp.asarray(np.stack(rows).astype(np.float32))
+    lengths = jnp.asarray(np.array([24576, 20000, 9000, 1000], np.int32))
+    n_valid = 1 + lengths // 512
+    power = power_spectrogram(audio, 2048, 512, method="fft")
+    mask = frame_mask(lengths, 512, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    # cover both table extremes and the no-candidate fallback bin
+    tb = jnp.asarray(np.array([0, 50, 99, 50], np.int32))
+
+    ch_ref = chroma_from_power(power, tb, 16000, 2048, 12)
+    mean, std = masked_mean_std(ch_ref, mask, axis=1)
+    ref = np.concatenate([np.asarray(mean), np.asarray(std)], axis=-1)
+
+    got = np.asarray(
+        chroma_stats_pallas(power, tb, n_valid, sr=16000, n_fft=2048,
+                            interpret=True)
+    )
+    assert got.shape == (4, 24)
+    assert np.abs(got - ref).max() < 1e-5, np.abs(got - ref).max()
+    # silent clip: chroma is all zeros -> zero stats
+    assert np.abs(got[3]).max() == 0.0
