@@ -164,14 +164,17 @@ def measure_stream_tpu(duration_s: int = 600, window_s: float = 3.0,
     return len(wins) / dt
 
 
-def measure_ensemble_tpu(n_reqs: int = 20) -> float:
-    """p50 single-request latency (ms) of the HEADLINE model: the weighted-vote
-    quad (cnn + cnn_bilstm + transformer x2 recipes) through
-    EnsemblePredictor.predict_clip — gate + shared featurization + all member
-    forwards fused into ONE device dispatch (infer._ensemble_seq_fused).
-    Members are init-weight heads of the production shapes: latency depends on
-    shapes/graphs only, so the bench stays self-contained (the real artifacts
-    reproduce the same number, docs/experiments_r4.md)."""
+def measure_ensemble_tpu(n_reqs: int = 20, micro_batch: int = 8) -> tuple[float, float]:
+    """(p50 single-request latency ms, micro-batched ms/clip at B=micro_batch)
+    of the HEADLINE model: the weighted-vote quad (cnn + cnn_bilstm +
+    transformer x2 recipes) through EnsemblePredictor — gate + shared
+    featurization + all member forwards fused into ONE device dispatch
+    (infer._ensemble_seq_fused).  The second figure is what the serving
+    micro-batcher (serve.py --batch-window-ms) achieves per clip under
+    concurrent load via predict_batch.  Members are init-weight heads of the
+    production shapes: latency depends on shapes/graphs only, so the bench
+    stays self-contained (the real artifacts reproduce the same number,
+    docs/experiments_r4.md)."""
     import jax
 
     from stutter_tpu.config import PipelineConfig
@@ -203,7 +206,16 @@ def measure_ensemble_tpu(n_reqs: int = 20) -> float:
         t0 = time.time()
         pred.predict_clip(y)
         lat.append(time.time() - t0)
-    return float(np.median(lat) * 1e3)
+    clips = [(rng.randn(48000) * 0.1).astype(np.float32)
+             for _ in range(micro_batch)]
+    pred.predict_batch(clips)  # compile + warm the B=micro_batch slot
+    blat = []
+    for _ in range(n_reqs):
+        t0 = time.time()
+        pred.predict_batch(clips)
+        blat.append(time.time() - t0)
+    return (float(np.median(lat) * 1e3),
+            float(np.median(blat) * 1e3 / micro_batch))
 
 
 def measure_denoise_cpu(n_clips: int = 8) -> float:
@@ -246,7 +258,7 @@ def main() -> int:
     den_cpu = measure_denoise_cpu()
     den_tpu, den_dt = measure_denoise_tpu()
     stream_rate = measure_stream_tpu()
-    ens_ms = measure_ensemble_tpu()
+    ens_ms, ens_b8_ms = measure_ensemble_tpu()
     fe_flops = frontend_flops(256, 49152)
     dn_flops, dn_bytes = denoise_flops_bytes(256, 49152)
     print(
@@ -260,6 +272,7 @@ def main() -> int:
                 "denoise_vs_baseline": round(den_tpu / den_cpu, 1),
                 "stream_windows_per_s": round(stream_rate, 1),
                 "ensemble_p50_ms_per_request": round(ens_ms, 1),
+                "ensemble_batch8_ms_per_clip": round(ens_b8_ms, 1),
                 # roofline: achieved fraction of v5e bf16-MXU peak on the
                 # dominant GEMM terms (underestimates occupancy: VPU scans /
                 # elementwise excluded) and of HBM bandwidth

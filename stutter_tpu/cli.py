@@ -111,6 +111,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip pre-compiling every model x clip-bucket at "
                         "startup (bind the port fast; first requests pay the "
                         "jit compiles instead)")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="micro-batch concurrent /predict requests: coalesce "
+                        "arrivals within this window into one fused device "
+                        "dispatch (batch-capable models only, e.g. the "
+                        "ensemble; 0 = off)")
+    p.add_argument("--batch-max", type=int, default=8,
+                   help="max clips per micro-batched dispatch")
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -213,7 +220,9 @@ def main(argv: list[str] | None = None) -> int:
 
         httpd = serve(os.path.join(args.root, cfg.data.output_dir), cfg, args.port,
                       host=args.host, seq_arches=tuple(args.seq_arch),
-                      ensemble=args.ensemble, warmup=not args.no_warmup)
+                      ensemble=args.ensemble, warmup=not args.no_warmup,
+                      batch_window_ms=args.batch_window_ms,
+                      batch_max=args.batch_max)
         print(f"serving on {args.host}:{args.port} (POST /predict, /stream; GET /healthz)")
         httpd.serve_forever()
     elif args.cmd == "bench":

@@ -474,10 +474,26 @@ class EnsemblePredictor:
         featurization + all forwards in one jit); only MLP members — off in
         the production quad — add further dispatches (the both-features MLP
         sees the raw AND the denoised clip)."""
+        return self.predict_batch([y], sr=sr, denoise=denoise)[0]
+
+    def predict_batch(
+        self, clips: list, sr: int = 16000, denoise: bool | None = None
+    ) -> list[dict]:
+        """Classify several independent clips in ONE fused device dispatch —
+        the serving micro-batcher's entry point (serve.py): concurrent HTTP
+        requests share a dispatch instead of serializing 43 ms each.
+
+        Semantically identical to [predict_clip(y) for y in clips] (pinned by
+        tests): clips pad to the largest member bucket (frame masking makes
+        bucket choice feature-invariant) and the batch pads to the next
+        power-of-two row count so compile count stays bounded; pad rows are
+        silent full-bucket clips (the warmup shape) and their outputs are
+        dropped."""
         import jax.numpy as jnp
 
-        y = _resample_to(y, sr, self.cfg.features.frontend.sample_rate)
-        sr = self.cfg.features.frontend.sample_rate
+        tgt = self.cfg.features.frontend.sample_rate
+        clips = [_resample_to(np.asarray(y, np.float32), sr, tgt) for y in clips]
+        sr = tgt
         do_denoise = self.denoise_first if denoise is None else denoise
         seq_members = [
             (n, m) for n, m in self.members.items() if isinstance(m, SeqPredictor)
@@ -485,20 +501,25 @@ class EnsemblePredictor:
         others = [
             (n, m) for n, m in self.members.items() if not isinstance(m, SeqPredictor)
         ]
-        member_out = {}
-        y_raw = y
+        n_req = len(clips)
+        member_out: list[dict] = [{} for _ in range(n_req)]
+        raws = clips
         if others and do_denoise:
             # non-seq members need the denoised waveform on host
-            y = denoise_clips([y], self.cfg.denoise)[0]
+            clips = denoise_clips(clips, self.cfg.denoise)
         if seq_members:
             from stutter_tpu.ops.frontend import pad_to_bucket
             from stutter_tpu.train.seq_pipeline import ARCHS
 
-            src = y if others and do_denoise else y_raw
-            bucket = pad_to_bucket(len(src))
-            audio = np.zeros((1, bucket), np.float32)
-            audio[0, : len(src)] = src[:bucket]
-            lens = np.array([min(len(src), bucket)], np.int32)
+            srcs = clips if others and do_denoise else raws
+            bucket = max(pad_to_bucket(len(s)) for s in srcs)
+            B = 1 << (n_req - 1).bit_length()
+            audio = np.zeros((B, bucket), np.float32)
+            lens = np.full(B, bucket, np.int32)  # pad rows = warmup shape
+            for i, s in enumerate(srcs):
+                m = min(len(s), bucket)
+                audio[i, :m] = s[:m]
+                lens[i] = m
             specs = tuple(
                 (ARCHS[m.arch]["kind"], ARCHS[m.arch]["apply_fn"])
                 for _, m in seq_members
@@ -522,26 +543,33 @@ class EnsemblePredictor:
                     sr=sr,
                 )
             )
-            for (name, m), p in zip(seq_members, P[:, 0, :]):
-                member_out[name] = {c: float(v) for c, v in zip(m.classes_, p)}
+            for mi, (name, m) in enumerate(seq_members):
+                for i in range(n_req):
+                    member_out[i][name] = {
+                        c: float(v) for c, v in zip(m.classes_, P[mi, i, :])
+                    }
         for name, member in others:
-            if isinstance(member, _BothFeatsMLP):
-                r = member.predict_pair(y_raw, y)
-            else:
-                r = member.predict_clip(y, sr, denoise=False)
-            member_out[name] = r["proba"]
-        proba = np.zeros(len(self.classes_), np.float64)
-        for name in member_out:
-            proba += self.weights[name] * np.array(
-                [member_out[name][c] for c in self.classes_]
-            )
-        proba /= max(proba.sum(), 1e-12)
-        pred = int(np.argmax(proba))
-        return {
-            "label": self.classes_[pred],
-            "proba": {c: float(p) for c, p in zip(self.classes_, proba)},
-            "members": member_out,
-        }
+            for i in range(n_req):
+                if isinstance(member, _BothFeatsMLP):
+                    r = member.predict_pair(raws[i], clips[i])
+                else:
+                    r = member.predict_clip(clips[i], sr, denoise=False)
+                member_out[i][name] = r["proba"]
+        results = []
+        for i in range(n_req):
+            proba = np.zeros(len(self.classes_), np.float64)
+            for name in member_out[i]:
+                proba += self.weights[name] * np.array(
+                    [member_out[i][name][c] for c in self.classes_]
+                )
+            proba /= max(proba.sum(), 1e-12)
+            pred = int(np.argmax(proba))
+            results.append({
+                "label": self.classes_[pred],
+                "proba": {c: float(p) for c, p in zip(self.classes_, proba)},
+                "members": member_out[i],
+            })
+        return results
 
     def predict_file(self, path: str, denoise: bool | None = None, decoder=None) -> dict:
         from stutter_tpu.io.decode import decode_audio

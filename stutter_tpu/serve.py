@@ -23,12 +23,80 @@ import io
 import json
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
 from stutter_tpu.infer import Predictor
+
+
+class _MicroBatcher:
+    """Coalesces concurrent /predict requests into predict_batch dispatches.
+
+    The per-model lock serializes requests, so an interactive model whose
+    request cost is one fused device dispatch (EnsemblePredictor, 43 ms)
+    caps at ~23 req/s no matter how many clients connect.  The batcher
+    instead parks arrivals for a short window (default 5 ms) and runs every
+    clip that accumulated — up to max_batch — through ONE predict_batch
+    dispatch, so concurrent load amortizes the dispatch instead of queueing
+    behind it.  A lone request costs the window wait only when a second
+    request is possible (the first arrival starts the window), keeping p50
+    within a few ms of the unbatched path at low load.
+
+    Requests are grouped by their (denoise, sr) pair before dispatch —
+    different flags cannot share a graph.  Errors propagate to exactly the
+    requests that caused them.
+    """
+
+    def __init__(self, predictor, window_ms: float = 5.0, max_batch: int = 8):
+        self.predictor = predictor
+        self.window = window_ms / 1e3
+        self.max_batch = max_batch
+        self._cv = threading.Condition()
+        self._pending: list[dict] = []
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def predict(self, y, sr: int, denoise: bool) -> dict:
+        item = {"y": y, "sr": sr, "denoise": denoise,
+                "ev": threading.Event(), "out": None, "err": None}
+        with self._cv:
+            self._pending.append(item)
+            self._cv.notify()
+        item["ev"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def _run(self):  # daemon worker
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                deadline = time.time() + self.window
+                while len(self._pending) < self.max_batch:
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._pending[: self.max_batch]
+                del self._pending[: self.max_batch]
+            groups: dict = {}
+            for it in batch:
+                groups.setdefault((it["denoise"], it["sr"]), []).append(it)
+            for (dn, gsr), items in groups.items():
+                try:
+                    outs = self.predictor.predict_batch(
+                        [it["y"] for it in items], sr=gsr, denoise=dn
+                    )
+                    for it, o in zip(items, outs):
+                        it["out"] = o
+                except Exception as e:  # noqa: BLE001 — deliver to the callers
+                    for it in items:
+                        it["err"] = e
+                for it in items:
+                    it["ev"].set()
 
 
 def _sniff_suffix(data: bytes) -> str:
@@ -71,9 +139,18 @@ def make_handler(
     predictor: Predictor,
     max_upload_bytes: int = MAX_UPLOAD_BYTES,
     seq_predictors: dict | None = None,
+    batch_window_ms: float = 0.0,
+    batch_max: int = 8,
 ):
     sr = predictor.cfg.features.frontend.sample_rate
     models = {"mlp": predictor, **(seq_predictors or {})}
+    # batch_window_ms > 0 coalesces concurrent requests per batch-capable
+    # model (those exposing predict_batch) into single fused dispatches
+    batchers = {
+        name: _MicroBatcher(m, batch_window_ms, batch_max)
+        for name, m in models.items()
+        if batch_window_ms > 0 and hasattr(m, "predict_batch")
+    }
     # Per-model locks + a dedicated /stream lock: an in-flight multi-second
     # /stream must not block sub-ms /predict requests (they share no mutable
     # state — predictors are pure functional pipelines — so serializing per
@@ -133,11 +210,14 @@ def make_handler(
                 return
             try:
                 if parsed.path == "/predict":
-                    with locks[model]:
-                        # per-request flag: never mutate the shared Predictor
-                        out = models[model].predict_clip(
-                            y, sr, denoise=q.get("denoise", ["1"])[0] != "0"
-                        )
+                    dn = q.get("denoise", ["1"])[0] != "0"
+                    if model in batchers:
+                        # the batcher's worker serializes dispatches itself
+                        out = batchers[model].predict(y, sr, dn)
+                    else:
+                        with locks[model]:
+                            # per-request flag: never mutate the shared Predictor
+                            out = models[model].predict_clip(y, sr, denoise=dn)
                 elif parsed.path == "/stream":
                     with stream_lock:
                         out = predictor.predict_stream(
@@ -158,13 +238,19 @@ def make_handler(
 
 
 def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
-          host: str = "127.0.0.1", seq_arches: tuple = (), ensemble: bool = False):
+          host: str = "127.0.0.1", seq_arches: tuple = (), ensemble: bool = False,
+          batch_window_ms: float = 0.0, batch_max: int = 8):
     """Build the HTTP server (bind localhost by default; pass host='0.0.0.0'
     to expose it like the reference's Streamlit port does).  seq_arches
     additionally loads trained sequence heads ('cnn' / 'cnn_bilstm' /
     'transformer', train-seq artifacts) served via POST /predict?model=<arch>;
     ensemble=True loads the weighted-vote EnsemblePredictor (the headline
-    75%-CV model, run_cv --seq artifacts) at POST /predict?model=ensemble."""
+    75%-CV model, run_cv --seq artifacts) at POST /predict?model=ensemble.
+    batch_window_ms > 0 turns on request micro-batching for batch-capable
+    models (currently the ensemble): concurrent uploads within the window
+    share one fused device dispatch (up to batch_max clips; batch shapes pad
+    to powers of two, so warmup covers B=1 and batching adds at most
+    log2(batch_max) extra compiles per bucket on first load)."""
     from stutter_tpu.config import PipelineConfig
     from stutter_tpu.infer import EnsemblePredictor, SeqPredictor
 
@@ -180,6 +266,8 @@ def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
             # unbounded first-request latency over a tunneled backend otherwise
             m.warmup()
     httpd = ThreadingHTTPServer(
-        (host, port), make_handler(predictor, seq_predictors=extra)
+        (host, port),
+        make_handler(predictor, seq_predictors=extra,
+                     batch_window_ms=batch_window_ms, batch_max=batch_max),
     )
     return httpd  # caller runs httpd.serve_forever()

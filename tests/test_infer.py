@@ -175,3 +175,57 @@ def test_ensemble_predictor_unit(tmp_path, rng):
     )
     with pytest.raises(ValueError, match="class order|stale"):
         EnsemblePredictor.load(out, PipelineConfig())
+
+
+def test_ensemble_predict_batch_matches_per_clip(tmp_path, rng):
+    """predict_batch == [predict_clip(y) for y] for mixed-length clips (the
+    micro-batcher's contract): clips share one bucket + one padded dispatch,
+    pad rows are dropped, per-clip probs are unchanged."""
+    import json
+    import os
+
+    import jax
+
+    from stutter_tpu.infer import EnsemblePredictor
+    from stutter_tpu.models.cnn import init_cnn
+    from stutter_tpu.models.cnn_bilstm import init_cnn_bilstm
+    from stutter_tpu.train.seq_pipeline import persist_seq_head
+
+    out = str(tmp_path)
+    classes = ["neg", "pos"]
+    persist_seq_head(
+        out, "cnn", init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=2),
+        np.zeros(128, np.float32), np.ones(128, np.float32), classes,
+    )
+    persist_seq_head(
+        out, "cnn_bilstm",
+        init_cnn_bilstm(jax.random.PRNGKey(1), in_dim=60, n_classes=2),
+        np.zeros(60, np.float32), np.ones(60, np.float32), classes,
+    )
+    json.dump(
+        {"weights": {"cnn": 0.6, "cnn_bilstm": 0.4}, "classes": classes},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+    pred = EnsemblePredictor.load(out, PipelineConfig())
+    # three clips of different lengths — the last crosses into the second
+    # bucket, so the batch runs the short clips under a LARGER bucket than
+    # their solo path (frame masking must make that invisible) — plus a
+    # batch size that forces a pad row (3 -> B=4)
+    clips = [
+        (rng.randn(16000) * 0.2).astype(np.float32),
+        (rng.randn(8000) * 0.3).astype(np.float32),
+        (rng.randn(30000) * 0.1).astype(np.float32),
+    ]
+    batch = pred.predict_batch(clips, 16000, denoise=False)
+    assert len(batch) == 3
+    for y, b in zip(clips, batch):
+        solo = pred.predict_clip(y, 16000, denoise=False)
+        assert solo["label"] == b["label"]
+        for c in classes:
+            assert abs(solo["proba"][c] - b["proba"][c]) < 1e-5
+    # the gate-inside-dispatch path batches too
+    batch_dn = pred.predict_batch(clips[:2], 16000, denoise=True)
+    for y, b in zip(clips[:2], batch_dn):
+        solo = pred.predict_clip(y, 16000, denoise=True)
+        for c in classes:
+            assert abs(solo["proba"][c] - b["proba"][c]) < 1e-4

@@ -259,3 +259,83 @@ def test_predict_seq_model_route(tmp_path, rng):
         assert abs(sum(r["proba"].values()) - 1) < 1e-5
     finally:
         httpd.shutdown()
+
+
+def test_predict_micro_batching(tmp_path, rng):
+    """batch_window_ms > 0: concurrent ensemble requests coalesce into fused
+    predict_batch dispatches; every response matches the unbatched result for
+    the same clip, and mixed denoise flags stay per-request."""
+    import json as _json
+    import os
+    import threading
+
+    import jax
+
+    from stutter_tpu.infer import EnsemblePredictor
+    from stutter_tpu.models.cnn import init_cnn
+    from stutter_tpu.train.seq_pipeline import persist_seq_head
+
+    out = str(tmp_path)
+    classes = ["neg", "pos"]
+    persist_seq_head(
+        out, "cnn", init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=2),
+        np.zeros(128, np.float32), np.ones(128, np.float32), classes,
+    )
+    _json.dump(
+        {"weights": {"cnn": 1.0}, "classes": classes},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+    ens = EnsemblePredictor.load(out, PipelineConfig())
+    X = rng.randn(60, 149).astype(np.float32)
+    yl = rng.randint(0, 2, 60)
+    pred = Predictor(
+        scaler=StandardScaler.fit(X),
+        label_encoder=LabelEncoder(classes_=["neg", "pos"]),
+        model=fit_mlp(X, yl, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1,
+                                            n_classes=2)),
+        cfg=PipelineConfig(),
+        denoise_first=False,
+    )
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(pred, seq_predictors={"ensemble": ens},
+                     # generous window so slow-CI threads land in one batch
+                     batch_window_ms=300.0, batch_max=8),
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        clips = [(rng.randn(12000 + 2000 * i) * 0.2).astype(np.float32)
+                 for i in range(5)]
+        expect = [ens.predict_clip(y, 16000, denoise=False) for y in clips]
+        results = [None] * len(clips)
+        errors = []
+
+        def post(i, dn):
+            try:
+                req = urllib.request.Request(
+                    base + f"/predict?model=ensemble&denoise={dn}",
+                    data=_wav_bytes(clips[i]), method="POST",
+                )
+                results[i] = json.loads(urllib.request.urlopen(req).read())
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        # four denoise=0 + one denoise=1 in flight together: the batcher must
+        # group by flag, not mix graphs
+        threads = [threading.Thread(target=post, args=(i, 0)) for i in range(4)]
+        threads.append(threading.Thread(target=post, args=(4, 1)))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        for i in range(4):
+            assert results[i]["label"] == expect[i]["label"]
+            for c in classes:
+                assert abs(results[i]["proba"][c] - expect[i]["proba"][c]) < 1e-4
+        dn_expect = ens.predict_clip(clips[4], 16000, denoise=True)
+        for c in classes:
+            assert abs(results[4]["proba"][c] - dn_expect["proba"][c]) < 1e-4
+    finally:
+        httpd.shutdown()
