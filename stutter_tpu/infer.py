@@ -457,14 +457,21 @@ class EnsemblePredictor:
             classes_=list(meta["classes"]), cfg=cfg,
         )
 
-    def warmup(self, buckets=None, denoise: bool | None = None) -> None:
+    def warmup(self, buckets=None, denoise: bool | None = None,
+               batch_sizes: tuple = ()) -> None:
         """Pre-compile every member's graphs for every clip bucket so the
         headline model's first request is bounded (compiles are per shape,
-        and per member here)."""
+        and per member here).  batch_sizes additionally compiles the fused
+        graph at those batch row counts (the micro-batcher's power-of-two
+        slots) — serve.py passes them when request batching is on."""
         from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
 
         for bucket in (buckets if buckets is not None else DEFAULT_BUCKETS):
             self.predict_clip(np.zeros(bucket, np.float32), denoise=denoise)
+            for b in batch_sizes:
+                self.predict_batch(
+                    [np.zeros(bucket, np.float32)] * b, denoise=denoise
+                )
 
     def predict_clip(
         self, y: np.ndarray, sr: int = 16000, denoise: bool | None = None

@@ -261,10 +261,23 @@ def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
         extra["ensemble"] = EnsemblePredictor.load(output_dir, cfg)
     if warmup:
         predictor.warmup()
+        # with micro-batching on, also pre-compile the power-of-two batch
+        # slots predict_batch pads to, so the first coalesced batch is
+        # bounded too (batch-capable models only)
+        # predict_batch pads row counts to powers of two, so a batch_max of
+        # e.g. 6 can still dispatch at B=8 — warm every slot up to
+        # next_pow2(batch_max)
+        top = 1 << max(batch_max - 1, 1).bit_length()
+        slots = tuple(
+            1 << k for k in range(1, top.bit_length())
+        ) if batch_window_ms > 0 else ()
         for m in extra.values():
             # seq heads + ensemble compile per bucket AND per member —
             # unbounded first-request latency over a tunneled backend otherwise
-            m.warmup()
+            if hasattr(m, "predict_batch"):
+                m.warmup(batch_sizes=slots)
+            else:
+                m.warmup()
     httpd = ThreadingHTTPServer(
         (host, port),
         make_handler(predictor, seq_predictors=extra,
