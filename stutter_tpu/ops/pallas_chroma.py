@@ -49,21 +49,25 @@ _VMEM_CAP_BYTES = 8 << 20
 
 
 @lru_cache(maxsize=None)
-def _fb_table_t(sr: int, n_fft: int, n_chroma: int) -> np.ndarray:
-    """[100, K, n_chroma]: chroma_fb_table transposed so the kernel's GEMM is
-    power [T, K] @ fbk [K, C] with a standard (1,)x(0,) contraction."""
-    return np.ascontiguousarray(
-        fb.chroma_fb_table(sr, n_fft, n_chroma).transpose(0, 2, 1)
-    )
+def _fb_table_rows(sr: int, n_fft: int, n_chroma: int) -> np.ndarray:
+    """[100 * n_chroma, K]: chroma_fb_table flattened to rows so the per-clip
+    gather stays LANE-DENSE (lane dim = K).  A [B, K, n_chroma] layout would
+    pad the 12-wide lane dimension to 128 on device — 10.7x the HBM traffic,
+    which measured SLOWER than the XLA tail it replaces."""
+    t = fb.chroma_fb_table(sr, n_fft, n_chroma)
+    return np.ascontiguousarray(t.reshape(-1, t.shape[-1]))
 
 
 def _chroma_stats_kernel(g: int, t_max: int, *refs):
-    """power [g, T, K] + fbk [g, K, C] + n_valid [B, 1] (SMEM) ->
-    stats [g, 2, C] (row 0 mean, row 1 std over valid frames)."""
+    """power [g, T, K] + fbk [g, C, K] + n_valid [B, 1] (SMEM) ->
+    stats [g, 2, C] (row 0 mean, row 1 std over valid frames).
+
+    The filterbank arrives [C, K] (lane-dense) and the GEMM contracts both
+    operands on their LAST dim (x @ y.T — the MXU loads the rhs transposed)."""
     power_ref, fbk_ref, nvalid_ref, out_ref = refs
     dot = partial(
         jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     rows = jax.lax.broadcasted_iota(jnp.int32, (t_max, 1), 0)
@@ -71,7 +75,7 @@ def _chroma_stats_kernel(g: int, t_max: int, *refs):
         s = power_ref[gi, :, :]  # [T, K], frame-masked upstream
         s_hi = s.astype(jnp.bfloat16)
         s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        f = fbk_ref[gi, :, :]  # [K, C]
+        f = fbk_ref[gi, :, :]  # [C, K]
         f_hi = f.astype(jnp.bfloat16)
         f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         raw = dot(s_hi, f_hi) + dot(s_hi, f_lo) + dot(s_lo, f_hi)  # [T, C]
@@ -102,11 +106,13 @@ def chroma_stats_pallas(
     -> [B, 2 * n_chroma] (chroma means then stds), numerically matching
     _stat_pair(chroma_from_power(power, tb, ...), mask)."""
     B, t_max, K = power.shape
-    table_t = jnp.asarray(_fb_table_t(sr, n_fft, n_chroma))
-    fbk = table_t[tuning_bin]  # [B, K, C] — 49 KB rows, cheap XLA gather
-    # VMEM per clip: power + its bf16 splits (T x K x 8 B) + the lane-padded
-    # filterbank block (K x 128 lanes, f32 + two bf16 splits).
-    per_clip = t_max * K * 8 + K * 128 * 8
+    table = jnp.asarray(_fb_table_rows(sr, n_fft, n_chroma))  # [100*C, K]
+    # lane-dense gather: C rows of K floats per clip (49 KB), no lane padding
+    idx = tuning_bin[:, None] * n_chroma + jnp.arange(n_chroma)[None, :]
+    fbk = table[idx]  # [B, C, K]
+    # VMEM per clip: power + its bf16 splits (T x K x 8 B) + the filterbank
+    # block and splits (C-sublane-padded x K x 8 B).
+    per_clip = t_max * K * 8 + 16 * K * 8
     g = max(1, min(g_clips, _VMEM_CAP_BYTES // per_clip))
     while B % g:
         g -= 1
@@ -116,7 +122,7 @@ def chroma_stats_pallas(
         grid=(B // g,),
         in_specs=[
             pl.BlockSpec((g, t_max, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, K, n_chroma), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_chroma, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
