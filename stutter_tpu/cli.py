@@ -62,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
                         "each seq head + the vote with start/end-cropped "
                         "views of this many frames averaged in (extra +TTA "
                         "rows; artifacts stay baseline)")
+    p.add_argument("--seq-raw-arch", action="append", default=[],
+                   choices=["cnn", "cnn_bilstm", "transformer",
+                            "transformer_lr1e3"],
+                   help="diversity probe: ALSO train this arch on the raw "
+                        "(pre-denoise) decode of the same clips as an extra "
+                        "vote member '<arch>_raw'; repeatable. Probe-only — "
+                        "use a scratch workspace (artifacts not servable)")
     p = sub.add_parser("train-ab", help="before/after cleaning comparison")
     add_root(p)
     p = sub.add_parser("train-seq", help="train one sequence head (CNN / "
@@ -162,7 +169,8 @@ def main(argv: list[str] | None = None) -> int:
                      feature_set=args.features, include_seq=args.seq,
                      labels_taxonomy=args.labels, seq_seeds=args.seq_seeds,
                      ensemble_mlp=args.ensemble_mlp,
-                     seq_tta_crops=(args.seq_tta_crop,) if args.seq_tta_crop else ())
+                     seq_tta_crops=(args.seq_tta_crop,) if args.seq_tta_crop else (),
+                     seq_raw_archs=tuple(args.seq_raw_arch))
         for row in res["final_rows"]:
             print(
                 f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '

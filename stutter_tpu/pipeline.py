@@ -446,6 +446,7 @@ def run_cv(
     ensemble_mlp: str = "none",
     seq_archs: tuple = ("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3"),
     seq_tta_crops: tuple = (),
+    seq_raw_archs: tuple = (),
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
@@ -473,6 +474,12 @@ def run_cv(
     from the same trained grids: per arch a '<ARCH>-TPU+TTA' row (identity +
     start/end-cropped views averaged, cross_validate_seq tta_crops) plus a
     'Weighted-Vote-TPU+TTA' row, next to the unchanged baseline rows.
+    seq_raw_archs: additional vote members trained on the RAW (pre-denoise)
+    decode of the SAME clip rows ('<arch>_raw' in the vote,
+    '<ARCH>-RAW-TPU' table row) — a diversity probe: every default member
+    sees gate-denoised audio, so a raw view disagrees in exactly the places
+    the gate altered.  Probe-only: raw members join the weight search but
+    are not persisted for serving (run probes in a scratch workspace).
     Artifacts (ensemble.json, refit heads) always follow the baseline
     protocol — TTA is an experiment knob, not the production path."""
     from stutter_tpu import persist
@@ -565,7 +572,9 @@ def run_cv(
             load_corpus_clips,
         )
 
-        clips, seq_labels, seq_stems = load_corpus_clips(root, cfg, with_stems=True)
+        clips, seq_labels, seq_stems, seq_files = load_corpus_clips(
+            root, cfg, with_files=True
+        )
         if labels_taxonomy == "5class":
             from stutter_tpu.data import map_labels_to_5class
 
@@ -597,6 +606,33 @@ def run_cv(
             final_rows.append(cv_row(f"{arch.upper()}-TPU", y_seq, pred_s, seq_folds))
             log.info("%s CV done in %.1fs: acc=%.1f%%", arch, time.time() - t0,
                      final_rows[-1]["Accuracy (%)"])
+
+        if seq_raw_archs:
+            # raw-view diversity members: the SAME rows/folds, decoded
+            # pre-denoise (the default members all see gated audio)
+            from stutter_tpu.io.decode import decode_audio
+
+            sr_f = cfg.features.frontend.sample_rate
+            raw_clips = []
+            for f, c in zip(seq_files, clips):
+                try:
+                    raw_clips.append(decode_audio(f, sr_f))
+                except Exception:  # noqa: BLE001 — keep row alignment
+                    log.warning("raw decode failed for %s; using denoised clip", f)
+                    raw_clips.append(c)
+            for arch in seq_raw_archs:
+                t0 = time.time()
+                _, proba_r = cross_validate_seq(
+                    arch, raw_clips, y_seq, seq_folds, len(class_names),
+                    default_train_cfg(arch, seq_epochs), n_seeds=seq_seeds,
+                )
+                seq_probas[f"{arch}_raw"] = proba_r
+                final_rows.append(
+                    cv_row(f"{arch.upper()}-RAW-TPU", y_seq,
+                           proba_r.argmax(-1), seq_folds)
+                )
+                log.info("%s(raw) CV done in %.1fs: acc=%.1f%%", arch,
+                         time.time() - t0, final_rows[-1]["Accuracy (%)"])
 
         # Nested weighted soft-vote over the TPU heads (75.2% CV measured on
         # the reference corpus vs 72.9 best single; the reference's UNIFORM
@@ -694,6 +730,12 @@ def run_cv(
         avg_w = {k: v / total_w for k, v in avg_w.items()}
         with open(os.path.join(out_dir, "ensemble.json"), "w") as f:
             json.dump({"weights": avg_w, "classes": class_names}, f, indent=1)
+        if any(avg_w.get(f"{a}_raw", 0.0) > 0 for a in seq_raw_archs):
+            log.warning(
+                "ensemble.json gives weight to raw-view probe members — the "
+                "artifact is NOT servable (no refit raw heads are persisted); "
+                "rerun without seq_raw_archs for production artifacts"
+            )
         log.info("ensemble members refit+persisted in %.1fs", time.time() - t0)
 
     evals.write_final_performance_csv(

@@ -79,26 +79,34 @@ def default_train_cfg(arch: str, epochs: int = 80) -> SeqTrainConfig:
 
 
 def load_corpus_clips(
-    root: str, cfg: PipelineConfig, with_stems: bool = False
+    root: str, cfg: PipelineConfig, with_stems: bool = False,
+    with_files: bool = False,
 ):
     """Denoised corpus clips (clear_audio by stem) + labels, via native decode.
     with_stems=True additionally returns the corpus file stems (one per kept
-    clip, in order) so callers can join against per-file feature caches."""
+    clip, in order) so callers can join against per-file feature caches;
+    with_files=True (implies with_stems) also returns the ORIGINAL corpus
+    audio paths per kept row, so raw (pre-denoise) views of the exact same
+    row set can be decoded (run_cv seq_raw_archs)."""
     from stutter_tpu.io.native import load_wav_batch
     from stutter_tpu.ops.frontend import DEFAULT_BUCKETS
 
     files = list_audio_files(os.path.join(root, cfg.data.data_dir), cfg.data.audio_exts)
-    paths, labels, stems = [], [], []
+    paths, labels, stems, srcs = [], [], [], []
     for f in files:
         w = os.path.join(root, cfg.data.clear_dir, Path(f).stem + ".wav")
         if os.path.exists(w):
             paths.append(w)
             labels.append(label_of(f))
             stems.append(Path(f).stem)
+            srcs.append(f)
     audio, lens = load_wav_batch(paths, DEFAULT_BUCKETS[-1], cfg.features.frontend.sample_rate)
     clips = [audio[i, : lens[i]] for i in range(len(paths)) if lens[i] > 0]
     labels = [l for l, n in zip(labels, lens) if n > 0]
     stems = [s for s, n in zip(stems, lens) if n > 0]
+    srcs = [f for f, n in zip(srcs, lens) if n > 0]
+    if with_files:
+        return clips, labels, stems, srcs
     if with_stems:
         return clips, labels, stems
     return clips, labels
