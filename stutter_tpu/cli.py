@@ -100,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("file")
     p.add_argument("--window", type=float, default=3.0)
     p.add_argument("--hop", type=float, default=1.0)
+    p.add_argument("--arch", default="mlp", choices=["mlp", "ensemble"],
+                   help="streaming head: the feature-MLP or the headline "
+                        "weighted-vote ensemble (windows share fused batch "
+                        "dispatches)")
     p = sub.add_parser("serve", help="HTTP inference service (POST /predict)")
     add_root(p)
     p.add_argument("--port", type=int, default=8501)
@@ -216,10 +220,12 @@ def main(argv: list[str] | None = None) -> int:
         pred.denoise_first = not args.no_denoise
         print(json.dumps(pred.predict_file(args.file), indent=2))
     elif args.cmd == "stream":
-        from stutter_tpu.infer import Predictor
+        from stutter_tpu.infer import EnsemblePredictor, Predictor
         from stutter_tpu.io.wav import load_mono
 
-        pred = Predictor.load(os.path.join(args.root, cfg.data.output_dir), cfg)
+        out_dir = os.path.join(args.root, cfg.data.output_dir)
+        pred = (EnsemblePredictor.load(out_dir, cfg) if args.arch == "ensemble"
+                else Predictor.load(out_dir, cfg))
         y, sr = load_mono(args.file, sr=cfg.features.frontend.sample_rate)
         for w in pred.predict_stream(y, sr, window_s=args.window, hop_s=args.hop):
             print(f'{w["start_s"]:7.2f}-{w["end_s"]:7.2f}s  {w["label"]}')

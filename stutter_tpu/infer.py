@@ -584,3 +584,37 @@ class EnsemblePredictor:
         sr = self.cfg.features.frontend.sample_rate
         y = decode_audio(path, sr, decoder=decoder)
         return self.predict_clip(y, sr, denoise=denoise)
+
+    def predict_stream(
+        self,
+        y: np.ndarray,
+        sr: int = 16000,
+        window_s: float = 3.0,
+        hop_s: float = 1.0,
+        batch_size: int = 16,
+        denoise: bool | None = None,
+    ) -> list[dict]:
+        """Long audio -> per-window predictions through the FULL weighted
+        vote (BASELINE config #5 on the headline model): overlapping windows
+        share fused predict_batch dispatches of up to batch_size clips, so a
+        minute of audio costs ~60/batch_size dispatches instead of 60."""
+        tgt = self.cfg.features.frontend.sample_rate
+        y = _resample_to(np.asarray(y, np.float32), sr, tgt)
+        sr = tgt
+        win = int(window_s * sr)
+        hop = int(hop_s * sr)
+        starts = list(range(0, max(len(y) - win // 2, 1), hop))
+        results: list[dict] = []
+        for s in range(0, len(starts), batch_size):
+            chunk = starts[s : s + batch_size]
+            outs = self.predict_batch(
+                [y[s0 : s0 + win] for s0 in chunk], sr, denoise=denoise
+            )
+            for s0, o in zip(chunk, outs):
+                results.append({
+                    "start_s": s0 / sr,
+                    "end_s": min(s0 + win, len(y)) / sr,
+                    "label": o["label"],
+                    "proba": o["proba"],
+                })
+        return results

@@ -11,6 +11,8 @@ over the Predictor:
   POST /predict?denoise=0  skip the spectral gate
   POST /predict?model=cnn  route to a loaded sequence head (serve --seq-arch)
   POST /stream?window=3&hop=1   long WAV -> [{start_s, end_s, label, proba}]
+  POST /stream?model=ensemble   windowed inference through the weighted vote
+                           (windows share fused batch dispatches)
   GET  /healthz            liveness + model metadata
 
 Run: python -m stutter_tpu serve --root WORK [--port 8501]
@@ -205,8 +207,12 @@ def make_handler(
             if model not in models:
                 self._send(400, {"error": f"unknown model {model!r}; have {sorted(models)}"})
                 return
-            if parsed.path == "/stream" and model != "mlp":
-                self._send(400, {"error": "stream supports only model=mlp"})
+            if parsed.path == "/stream" and not hasattr(models[model], "predict_stream"):
+                self._send(
+                    400,
+                    {"error": f"model {model!r} does not support /stream; "
+                              "use mlp or ensemble"},
+                )
                 return
             try:
                 if parsed.path == "/predict":
@@ -220,7 +226,7 @@ def make_handler(
                             out = models[model].predict_clip(y, sr, denoise=dn)
                 elif parsed.path == "/stream":
                     with stream_lock:
-                        out = predictor.predict_stream(
+                        out = models[model].predict_stream(
                             y,
                             sr,
                             window_s=float(q.get("window", ["3.0"])[0]),

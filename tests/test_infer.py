@@ -229,3 +229,39 @@ def test_ensemble_predict_batch_matches_per_clip(tmp_path, rng):
         solo = pred.predict_clip(y, 16000, denoise=True)
         for c in classes:
             assert abs(solo["proba"][c] - b["proba"][c]) < 1e-4
+
+
+def test_ensemble_predict_stream(tmp_path, rng):
+    """Windowed streaming through the full vote: window timing/count match
+    the geometry and each window equals the per-clip prediction."""
+    import json
+    import os
+
+    import jax
+
+    from stutter_tpu.infer import EnsemblePredictor
+    from stutter_tpu.models.cnn import init_cnn
+    from stutter_tpu.train.seq_pipeline import persist_seq_head
+
+    out = str(tmp_path)
+    classes = ["neg", "pos"]
+    persist_seq_head(
+        out, "cnn", init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=2),
+        np.zeros(128, np.float32), np.ones(128, np.float32), classes,
+    )
+    json.dump(
+        {"weights": {"cnn": 1.0}, "classes": classes},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+    pred = EnsemblePredictor.load(out, PipelineConfig())
+    y = (rng.randn(16000 * 3) * 0.2).astype(np.float32)  # 3 s
+    wins = pred.predict_stream(y, 16000, window_s=0.5, hop_s=1.0,
+                               batch_size=2, denoise=False)
+    assert len(wins) == 3  # starts at 0, 1, 2 s (len - win/2 bound)
+    assert wins[0]["start_s"] == 0.0 and abs(wins[0]["end_s"] - 0.5) < 1e-6
+    for w in wins:
+        s0 = int(w["start_s"] * 16000)
+        solo = pred.predict_clip(y[s0 : s0 + 8000], 16000, denoise=False)
+        assert w["label"] == solo["label"]
+        for c in classes:
+            assert abs(w["proba"][c] - solo["proba"][c]) < 1e-5

@@ -339,3 +339,65 @@ def test_predict_micro_batching(tmp_path, rng):
             assert abs(results[4]["proba"][c] - dn_expect["proba"][c]) < 1e-4
     finally:
         httpd.shutdown()
+
+
+def test_stream_ensemble_route(tmp_path, rng):
+    """/stream?model=ensemble runs windowed inference through the vote; a
+    model with no predict_stream still 400s."""
+    import json as _json
+    import os
+    import threading
+
+    import jax
+
+    from stutter_tpu.infer import EnsemblePredictor, SeqPredictor
+    from stutter_tpu.models.cnn import init_cnn
+    from stutter_tpu.train.seq_pipeline import persist_seq_head
+
+    out = str(tmp_path)
+    classes = ["neg", "pos"]
+    persist_seq_head(
+        out, "cnn", init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=2),
+        np.zeros(128, np.float32), np.ones(128, np.float32), classes,
+    )
+    _json.dump(
+        {"weights": {"cnn": 1.0}, "classes": classes},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+    ens = EnsemblePredictor.load(out, PipelineConfig())
+    ens.denoise_first = False
+    seq = SeqPredictor.load(out, "cnn", PipelineConfig())
+    X = rng.randn(60, 149).astype(np.float32)
+    yl = rng.randint(0, 2, 60)
+    pred = Predictor(
+        scaler=StandardScaler.fit(X),
+        label_encoder=LabelEncoder(classes_=["neg", "pos"]),
+        model=fit_mlp(X, yl, MLPTrainConfig(hidden=(8,), epochs=2, n_seeds=1,
+                                            n_classes=2)),
+        cfg=PipelineConfig(),
+        denoise_first=False,
+    )
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(pred, seq_predictors={"ensemble": ens, "cnn": seq}),
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        data = _wav_bytes((rng.randn(16000 * 3) * 0.2).astype(np.float32))
+        req = urllib.request.Request(
+            base + "/stream?model=ensemble&window=0.5&hop=1.0",
+            data=data, method="POST",
+        )
+        wins = json.loads(urllib.request.urlopen(req, timeout=600).read())
+        assert len(wins) == 3
+        assert all(w["label"] in classes for w in wins)
+        # a head without predict_stream is refused, not crashed
+        req = urllib.request.Request(
+            base + "/stream?model=cnn", data=data, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
