@@ -172,3 +172,49 @@ def train_mlp_dp(
         xb, yb = shard_batch(mesh, jnp.asarray(X[idx], jnp.float32), jnp.asarray(y[idx]))
         params, opt_state, loss = step_fn(params, opt_state, xb, yb)
     return params
+
+
+def ensemble_sharded(
+    mesh: Mesh,
+    audio: np.ndarray,
+    lengths: np.ndarray,
+    params_list: tuple,
+    norms: tuple,
+    *,
+    specs: tuple,
+    dn_cfg=None,
+    denoise: bool = True,
+    t_max: int = 316,
+    sr: int = 16000,
+):
+    """Data-parallel fused ensemble vote via shard_map: each chip runs the
+    ENTIRE headline-model request path — denoise gate + shared featurization
+    + every sequence-member forward (infer._ensemble_seq_fused_impl) — on its
+    clip shard, with member params/normalizers replicated.  No collectives
+    needed (per-clip independence).  Returns [M, B, C] member probabilities
+    with the batch dim sharded over `data`.
+
+    This is the multi-chip form of the serving hot path: batch offline
+    scoring of a corpus through the production weighted vote scales linearly
+    over chips (clips must divide the mesh)."""
+    from stutter_tpu.config import DenoiseConfig
+    from stutter_tpu.infer import _ensemble_seq_fused_impl
+
+    fn = partial(
+        _ensemble_seq_fused_impl,
+        specs=specs,
+        dn_cfg=dn_cfg if dn_cfg is not None else DenoiseConfig(),
+        denoise=denoise,
+        t_max=t_max,
+        sr=sr,
+    )
+    sharded = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P()),
+            out_specs=P(None, "data"), check_vma=False,
+        )
+    )
+    return sharded(
+        np.asarray(audio), np.asarray(lengths), params_list, norms
+    )

@@ -207,3 +207,46 @@ def test_production_trainer_shards_grid_and_matches_unsharded(rng):
         tr.shard_grid = orig
     np.testing.assert_allclose(proba_s, proba_u, atol=1e-5)
     np.testing.assert_array_equal(pred_s, pred_u)
+
+
+@needs_8
+def test_sharded_ensemble_matches_unsharded(rng):
+    """The full headline request path (gate + featurization + every member
+    forward) under shard_map: one instance per device on its clip shard,
+    equal to the unsharded fused dispatch."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.infer import _ensemble_seq_fused
+    from stutter_tpu.models.cnn import init_cnn
+    from stutter_tpu.models.transformer import init_transformer
+    from stutter_tpu.parallel.mesh import ensemble_sharded
+    from stutter_tpu.train.seq_pipeline import ARCHS
+
+    mesh = make_mesh(8)
+    audio = (rng.randn(8, 8192) * 0.1).astype(np.float32)
+    lengths = np.full(8, 8000, np.int32)
+    params = (
+        init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=3),
+        init_transformer(jax.random.PRNGKey(1), n_mels=128, n_classes=3),
+    )
+    norms = tuple(
+        (jnp.zeros(128, jnp.float32), jnp.ones(128, jnp.float32)) for _ in range(2)
+    )
+    specs = tuple(
+        (ARCHS[a]["kind"], ARCHS[a]["apply_fn"]) for a in ("cnn", "transformer")
+    )
+    from stutter_tpu.config import DenoiseConfig
+
+    dn = DenoiseConfig()
+    sharded = np.asarray(
+        ensemble_sharded(mesh, audio, lengths, params, norms,
+                         specs=specs, dn_cfg=dn, denoise=True)
+    )
+    single = np.asarray(
+        _ensemble_seq_fused()(
+            jnp.asarray(audio), jnp.asarray(lengths), params, norms,
+            specs=specs, dn_cfg=dn, denoise=True, t_max=316, sr=16000,
+        )
+    )
+    assert sharded.shape == single.shape == (2, 8, 3)
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
