@@ -683,6 +683,18 @@ def run_cv(
             _, seq_probas[mlp_name] = cross_validate_mlp(
                 Xs_seq, y_seq, seq_folds, MLPTrainConfig(n_classes=len(class_names))
             )
+        # Persist the out-of-fold member probabilities: ensemble-combination
+        # experiments (weight grids, stackers, calibration) then run OFFLINE
+        # in seconds instead of re-training every grid (~30 min of TPU).
+        np.savez(
+            os.path.join(out_dir, "oof_probas.npz"),
+            y=y_seq,
+            fold_of=np.concatenate([
+                np.full(len(te), k, np.int32)
+                for k, (_, te) in enumerate(seq_folds)
+            ])[np.argsort(np.concatenate([te for _, te in seq_folds]))],
+            **{f"proba_{n}": p for n, p in seq_probas.items()},
+        )
         pred_v, _, vote_weights = nested_weighted_vote(seq_probas, y_seq, seq_folds)
         final_rows.append(cv_row("Weighted-Vote-TPU", y_seq, pred_v, seq_folds))
         if seq_tta_crops:
