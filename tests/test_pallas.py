@@ -150,3 +150,29 @@ def test_chroma_stats_kernel_matches_xla(rng):
     assert np.abs(got - ref).max() < 1e-5, np.abs(got - ref).max()
     # silent clip: chroma is all zeros -> zero stats
     assert np.abs(got[3]).max() == 0.0
+
+
+def test_chroma_stats_kernel_odd_batch(rng):
+    """Batch sizes that don't divide the default g_clips still grid cleanly
+    (the g auto-tune walks down to a divisor)."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.chroma import chroma_from_power
+    from stutter_tpu.ops.masked import frame_mask, masked_mean_std
+    from stutter_tpu.ops.pallas_chroma import chroma_stats_pallas
+    from stutter_tpu.ops.spectral import power_spectrogram
+
+    audio = jnp.asarray(rng.randn(3, 24576).astype(np.float32) * 0.3)
+    lengths = jnp.asarray(np.array([24576, 9000, 16000], np.int32))
+    n_valid = 1 + lengths // 512
+    power = power_spectrogram(audio, 2048, 512, method="fft")
+    mask = frame_mask(lengths, 512, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    tb = jnp.asarray(np.array([10, 50, 90], np.int32))
+    got = np.asarray(
+        chroma_stats_pallas(power, tb, n_valid, interpret=True)
+    )
+    ch = chroma_from_power(power, tb, 16000, 2048, 12)
+    mean, std = masked_mean_std(ch, mask, axis=1)
+    ref = np.concatenate([np.asarray(mean), np.asarray(std)], axis=-1)
+    assert np.abs(got - ref).max() < 1e-5
