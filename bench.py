@@ -166,8 +166,8 @@ def measure_stream_tpu(duration_s: int = 600, window_s: float = 3.0,
 
 def measure_ensemble_tpu(n_reqs: int = 20, micro_batch: int = 8) -> tuple[float, float]:
     """(p50 single-request latency ms, micro-batched ms/clip at B=micro_batch)
-    of the HEADLINE model: the weighted-vote quad (cnn + cnn_bilstm +
-    transformer x2 recipes) through EnsemblePredictor — gate + shared
+    of the HEADLINE model: the weighted-vote quint (cnn + cnn_bilstm +
+    transformer x3 recipes, 76.2% CV) through EnsemblePredictor — gate + shared
     featurization + all member forwards fused into ONE device dispatch
     (infer._ensemble_seq_fused).  The second figure is what the serving
     micro-batcher (serve.py --batch-window-ms) achieves per clip under
@@ -184,8 +184,9 @@ def measure_ensemble_tpu(n_reqs: int = 20, micro_batch: int = 8) -> tuple[float,
     cfg = PipelineConfig()
     classes = ["b", "p", "w"]
     key = jax.random.PRNGKey(0)
-    members, weights = {}, {"cnn": 0.35, "cnn_bilstm": 0.2,
-                            "transformer": 0.15, "transformer_lr1e3": 0.3}
+    members, weights = {}, {"cnn": 0.33, "cnn_bilstm": 0.19,
+                            "transformer": 0.14, "transformer_lr1e3": 0.24,
+                            "transformer_mix4_lr1e3": 0.10}
     for arch in weights:
         spec = ARCHS[arch]
         kw = spec["init_kwargs"](len(classes))

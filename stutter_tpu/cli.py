@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
                         "rows; artifacts stay baseline)")
     p.add_argument("--seq-raw-arch", action="append", default=[],
                    choices=["cnn", "cnn_bilstm", "transformer",
-                            "transformer_lr1e3"],
+                            "transformer_lr1e3", "transformer_mix4_lr1e3"],
                    help="diversity probe: ALSO train this arch on the raw "
                         "(pre-denoise) decode of the same clips as an extra "
                         "vote member '<arch>_raw'; repeatable. Probe-only — "
@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     add_root(p)
     p.add_argument("--arch", default="cnn_bilstm",
                    choices=["cnn", "cnn_bilstm", "transformer",
-                            "transformer_lr1e3"])
+                            "transformer_lr1e3", "transformer_mix4_lr1e3"])
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--mixup", type=float, default=None,
                    help="mixup alpha (default: 0.2 for the log-mel heads — "
@@ -90,10 +90,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--arch", default="mlp",
                    choices=["mlp", "cnn", "cnn_bilstm", "transformer",
-                            "transformer_lr1e3", "ensemble"],
+                            "transformer_lr1e3", "transformer_mix4_lr1e3", "ensemble"],
                    help="serving head: the feature-MLP (reference-style), a "
                         "trained sequence model (train-seq artifacts), or the "
-                        "weighted-vote ensemble — the headline 75%%-CV model "
+                        "weighted-vote ensemble — the headline 76%%-CV model "
                         "(train --seq artifacts)")
     p = sub.add_parser("stream", help="windowed streaming inference over a long file")
     add_root(p)
@@ -111,12 +111,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="bind address (0.0.0.0 to expose externally)")
     p.add_argument("--seq-arch", action="append", default=[],
                    choices=["cnn", "cnn_bilstm", "transformer",
-                            "transformer_lr1e3"],
+                            "transformer_lr1e3", "transformer_mix4_lr1e3"],
                    help="also serve this trained sequence head "
                         "(POST /predict?model=<arch>); repeatable")
     p.add_argument("--ensemble", action="store_true",
                    help="also serve the weighted-vote ensemble — the headline "
-                        "75%%-CV model (POST /predict?model=ensemble; needs "
+                        "76%%-CV model (POST /predict?model=ensemble; needs "
                         "train --seq artifacts)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip pre-compiling every model x clip-bucket at "

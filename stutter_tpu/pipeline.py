@@ -444,7 +444,8 @@ def run_cv(
     seq_seeds: int = 1,
     seq_epochs: int = 80,
     ensemble_mlp: str = "none",
-    seq_archs: tuple = ("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3"),
+    seq_archs: tuple = ("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3",
+                        "transformer_mix4_lr1e3"),
     seq_tta_crops: tuple = (),
     seq_raw_archs: tuple = (),
 ) -> dict:
@@ -467,9 +468,9 @@ def run_cv(
     (model_mlp_{both,clean}_tpu + scaler_{both,clean}.npz) so serving loads
     exactly what the vote weights were searched on.
     seq_archs: sequence members of the CV table and the weighted vote
-    (r3 sweep: the cnn / cnn_bilstm / transformer / transformer_lr1e3 quad
-    is the headline — 75.8% nested / 75.25% uniform, beating the trio at
-    every weight-grid step; the cnn+bilstm pair was 74.4%).
+    (r4: the default quint — cnn / cnn_bilstm / three transformer RECIPES —
+    is the headline at 76.2% nested CV; the r3 quad was 75.8, the trio
+    75.25, the cnn+bilstm pair 74.4; docs/experiments_r4.md).
     seq_tta_crops: non-empty runs a prediction-time-augmentation COMPARISON
     from the same trained grids: per arch a '<ARCH>-TPU+TTA' row (identity +
     start/end-cropped views averaged, cross_validate_seq tta_crops) plus a

@@ -251,7 +251,7 @@ def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
     additionally loads trained sequence heads ('cnn' / 'cnn_bilstm' /
     'transformer', train-seq artifacts) served via POST /predict?model=<arch>;
     ensemble=True loads the weighted-vote EnsemblePredictor (the headline
-    75%-CV model, run_cv --seq artifacts) at POST /predict?model=ensemble.
+    76%-CV model, run_cv --seq artifacts) at POST /predict?model=ensemble.
     batch_window_ms > 0 turns on request micro-batching for batch-capable
     models (currently the ensemble): concurrent uploads within the window
     share one fused device dispatch (up to batch_max clips; batch shapes pad

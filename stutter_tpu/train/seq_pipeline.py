@@ -62,6 +62,15 @@ ARCHS = {
         apply_fn=apply_transformer,
         init_kwargs=lambda n_classes: {"n_mels": 128, "n_classes": n_classes},
     ),
+    # third transformer recipe (r4 probe): heavier mixup at the low lr —
+    # best SINGLE model of the project (74.0% solo 5-seed CV) and worth
+    # +0.7 on the weighted vote as a fifth member (docs/experiments_r4.md)
+    "transformer_mix4_lr1e3": dict(
+        kind="logmel",
+        init_fn=init_transformer,
+        apply_fn=apply_transformer,
+        init_kwargs=lambda n_classes: {"n_mels": 128, "n_classes": n_classes},
+    ),
 }
 
 
@@ -72,7 +81,9 @@ def default_train_cfg(arch: str, epochs: int = 80) -> SeqTrainConfig:
     plain for the BiLSTM (mixup there is within seed noise);
     transformer_lr1e3 is the lr 1e-3 recipe (solo 72.7)."""
     mixup = 0.2 if ARCHS[arch]["kind"] == "logmel" else 0.0
-    lr = 1e-3 if arch == "transformer_lr1e3" else 2e-3
+    if arch == "transformer_mix4_lr1e3":
+        mixup = 0.4
+    lr = 1e-3 if arch in ("transformer_lr1e3", "transformer_mix4_lr1e3") else 2e-3
     return SeqTrainConfig(
         epochs=epochs, batch_size=64, mixup_alpha=mixup, learning_rate=lr
     )

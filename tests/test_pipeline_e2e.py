@@ -109,10 +109,10 @@ def test_run_seq_on_synthetic(workspace, cfg):
 def test_run_cv_seq_and_weighted_vote(workspace, cfg):
     """run_cv --seq trains the sequence heads AND the nested weighted vote;
     the ensemble row + weights artifact appear in the output.  Slow-marked:
-    it trains 4 archs x 2 folds + 4 production refits on CPU (the fast suite
+    it trains 5 archs x 2 folds + 5 production refits on CPU (the fast suite
     covers the grid trainer in test_models and EnsemblePredictor mechanics in
     test_infer).  ensemble_mlp='both' (not the production default 'none') so
-    one run covers the quad archs AND the raw+clean MLP-member machinery."""
+    one run covers the quint archs AND the raw+clean MLP-member machinery."""
     import json
 
     from stutter_tpu.config import PipelineConfig, TrainConfig
@@ -137,10 +137,12 @@ def test_run_cv_seq_and_weighted_vote(workspace, cfg):
     out = os.path.join(workspace, "output_results")
     ens = json.load(open(os.path.join(out, "ensemble.json")))
     assert set(ens["weights"]) == {
-        "mlp_both", "cnn", "cnn_bilstm", "transformer", "transformer_lr1e3"
+        "mlp_both", "cnn", "cnn_bilstm", "transformer", "transformer_lr1e3",
+        "transformer_mix4_lr1e3",
     }
     assert abs(sum(ens["weights"].values()) - 1.0) < 1e-6
-    for arch in ("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3"):
+    for arch in ("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3",
+                 "transformer_mix4_lr1e3"):
         assert os.path.exists(os.path.join(out, f"model_{arch}.npz"))
         assert os.path.exists(os.path.join(out, f"model_{arch}_norm.npz"))
     assert os.path.exists(os.path.join(out, "model_mlp_both_tpu.npz"))
