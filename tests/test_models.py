@@ -295,3 +295,24 @@ def test_cross_validate_seq_tta_views(rng, monkeypatch):
     np.testing.assert_array_equal(Xs[:, : T - crop], X[:, crop:])
     assert (Xs[:, T - crop :] == 0).all()
     np.testing.assert_array_equal(Xe, X)
+
+
+def test_default_train_cfg_recipes():
+    """The production recipes are an if/else mapping in default_train_cfg;
+    the quint headline (docs/experiments_r4.md) depends on each member
+    getting ITS searched hyperparameters — pin them so an edit to the
+    mapping can't silently retrain a member with the wrong recipe."""
+    from stutter_tpu.train.seq_pipeline import ARCHS, default_train_cfg
+
+    expect = {  # arch -> (mixup_alpha, learning_rate)
+        "cnn": (0.2, 2e-3),
+        "cnn_bilstm": (0.0, 2e-3),
+        "transformer": (0.2, 2e-3),
+        "transformer_lr1e3": (0.2, 1e-3),
+        "transformer_mix4_lr1e3": (0.4, 1e-3),
+    }
+    assert set(expect) == set(ARCHS)
+    for arch, (mixup, lr) in expect.items():
+        tc = default_train_cfg(arch, epochs=80)
+        assert (tc.mixup_alpha, tc.learning_rate) == (mixup, lr), arch
+        assert tc.epochs == 80 and tc.batch_size == 64
