@@ -31,6 +31,24 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("data",))
 
 
+_SHARDED_CACHE: dict = {}
+
+
+def _cached_sharded(key, build):
+    """Compiled shard_map wrappers are cached per (function, mesh, static
+    config): rebuilding jax.jit(shard_map(...)) per call would retrace AND
+    recompile every invocation — 30-300 s each over a tunneled backend — and
+    these helpers are documented for corpus-scale batch loops."""
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        fn = _SHARDED_CACHE[key] = build()
+    return fn
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Place arrays with leading batch dim sharded over the `data` axis."""
     out = []
@@ -56,14 +74,17 @@ def extract_features_sharded(mesh: Mesh, audio: np.ndarray, lengths: np.ndarray,
     (tests/test_parallel.py, __graft_entry__.dryrun_multichip)."""
     from stutter_tpu.ops.frontend import extract_features_149_batch
 
-    fn = partial(extract_features_149_batch, **kw)
-    sharded = jax.jit(
-        jax.shard_map(
-            fn, mesh=mesh, in_specs=(P("data"), P("data")),
-            out_specs=P("data"), check_vma=False,
+    def build():
+        fn = partial(extract_features_149_batch, **kw)
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=(P("data"), P("data")),
+                out_specs=P("data"), check_vma=False,
+            )
         )
-    )
-    return sharded(np.asarray(audio), np.asarray(lengths))
+
+    key = ("extract", _mesh_key(mesh), tuple(sorted(kw.items())))
+    return _cached_sharded(key, build)(np.asarray(audio), np.asarray(lengths))
 
 
 def denoise_sharded(mesh: Mesh, audio: np.ndarray, lengths: np.ndarray, cfg=None, **kw):
@@ -79,14 +100,19 @@ def denoise_sharded(mesh: Mesh, audio: np.ndarray, lengths: np.ndarray, cfg=None
     from stutter_tpu.config import DenoiseConfig
     from stutter_tpu.denoise import denoise_batch
 
-    fn = partial(denoise_batch, cfg=cfg if cfg is not None else DenoiseConfig(), **kw)
-    sharded = jax.jit(
-        jax.shard_map(
-            fn, mesh=mesh, in_specs=(P("data"), P("data")),
-            out_specs=P("data"), check_vma=False,
+    dn_cfg = cfg if cfg is not None else DenoiseConfig()
+
+    def build():
+        fn = partial(denoise_batch, cfg=dn_cfg, **kw)
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=(P("data"), P("data")),
+                out_specs=P("data"), check_vma=False,
+            )
         )
-    )
-    return sharded(np.asarray(audio), np.asarray(lengths))
+
+    key = ("denoise", _mesh_key(mesh), dn_cfg, tuple(sorted(kw.items())))
+    return _cached_sharded(key, build)(np.asarray(audio), np.asarray(lengths))
 
 
 def make_dp_train_step(mesh: Mesh, opt, n_classes: int = 3, label_smoothing: float = 0.05):
@@ -200,21 +226,22 @@ def ensemble_sharded(
     from stutter_tpu.config import DenoiseConfig
     from stutter_tpu.infer import _ensemble_seq_fused_impl
 
-    fn = partial(
-        _ensemble_seq_fused_impl,
-        specs=specs,
-        dn_cfg=dn_cfg if dn_cfg is not None else DenoiseConfig(),
-        denoise=denoise,
-        t_max=t_max,
-        sr=sr,
-    )
-    sharded = jax.jit(
-        jax.shard_map(
-            fn, mesh=mesh,
-            in_specs=(P("data"), P("data"), P(), P()),
-            out_specs=P(None, "data"), check_vma=False,
+    cfg = dn_cfg if dn_cfg is not None else DenoiseConfig()
+
+    def build():
+        fn = partial(
+            _ensemble_seq_fused_impl,
+            specs=specs, dn_cfg=cfg, denoise=denoise, t_max=t_max, sr=sr,
         )
-    )
-    return sharded(
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P("data"), P("data"), P(), P()),
+                out_specs=P(None, "data"), check_vma=False,
+            )
+        )
+
+    key = ("ensemble", _mesh_key(mesh), specs, cfg, denoise, t_max, sr)
+    return _cached_sharded(key, build)(
         np.asarray(audio), np.asarray(lengths), params_list, norms
     )

@@ -741,14 +741,23 @@ def run_cv(
         }
         total_w = sum(avg_w.values()) or 1.0
         avg_w = {k: v / total_w for k, v in avg_w.items()}
+        if seq_raw_archs:
+            # Raw-view probe members have no persisted refit heads, so a vote
+            # that references them is NOT servable.  The searched weights go
+            # to ensemble_probe.json for analysis; the servable ensemble.json
+            # zeroes the raw members and renormalizes so EnsemblePredictor
+            # .load always succeeds on run_cv artifacts.
+            with open(os.path.join(out_dir, "ensemble_probe.json"), "w") as f:
+                json.dump({"weights": avg_w, "classes": class_names}, f, indent=1)
+            servable = {k: (0.0 if k.endswith("_raw") else v) for k, v in avg_w.items()}
+            total_s = sum(servable.values()) or 1.0
+            avg_w = {k: v / total_s for k, v in servable.items()}
+            log.info(
+                "raw-probe vote weights written to ensemble_probe.json; "
+                "ensemble.json renormalized over the persisted members"
+            )
         with open(os.path.join(out_dir, "ensemble.json"), "w") as f:
             json.dump({"weights": avg_w, "classes": class_names}, f, indent=1)
-        if any(avg_w.get(f"{a}_raw", 0.0) > 0 for a in seq_raw_archs):
-            log.warning(
-                "ensemble.json gives weight to raw-view probe members — the "
-                "artifact is NOT servable (no refit raw heads are persisted); "
-                "rerun without seq_raw_archs for production artifacts"
-            )
         log.info("ensemble members refit+persisted in %.1fs", time.time() - t0)
 
     evals.write_final_performance_csv(

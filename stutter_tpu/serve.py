@@ -13,6 +13,10 @@ over the Predictor:
   POST /stream?window=3&hop=1   long WAV -> [{start_s, end_s, label, proba}]
   POST /stream?model=ensemble   windowed inference through the weighted vote
                            (windows share fused batch dispatches)
+  GET  /                   self-contained browser page: upload a clip, read
+                           the label + per-class probability table (the
+                           reference's user surface is exactly this page,
+                           main1.py:952-999 on port 8501)
   GET  /healthz            liveness + model metadata
 
 Run: python -m stutter_tpu serve --root WORK [--port 8501]
@@ -43,13 +47,15 @@ class _MicroBatcher:
     instead parks arrivals for a short window (default 5 ms) and runs every
     clip that accumulated — up to max_batch — through ONE predict_batch
     dispatch, so concurrent load amortizes the dispatch instead of queueing
-    behind it.  A lone request costs the window wait only when a second
-    request is possible (the first arrival starts the window), keeping p50
-    within a few ms of the unbatched path at low load.
+    behind it.  Every request — including a lone one — pays the full batch
+    window before dispatch (the worker always waits out the window unless
+    max_batch fills first), so p50 at low load is the unbatched latency plus
+    ~window_ms.
 
     Requests are grouped by their (denoise, sr) pair before dispatch —
-    different flags cannot share a graph.  Errors propagate to exactly the
-    requests that caused them.
+    different flags cannot share a graph.  A dispatch error fails every
+    request in that (denoise, sr) group (they shared the device call), not
+    just the clip that caused it.
     """
 
     def __init__(self, predictor, window_ms: float = 5.0, max_batch: int = 8):
@@ -137,6 +143,92 @@ MAX_UPLOAD_BYTES = 100 * 1024 * 1024  # reject oversized uploads before reading
 # (the reference's Streamlit uploader caps at 200 MB by default)
 
 
+# Self-contained browser surface (GET /): the reference's end-user
+# interaction is a browser upload page — pick a clip, read the predicted
+# label and per-class probabilities (ref: main1.py:952-999, auto-launched on
+# port 8501 by .devcontainer/devcontainer.json:24-32).  One static page, no
+# external assets: file input -> fetch POST /predict -> probability table;
+# the model dropdown is filled from /healthz.
+_INDEX_HTML = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>Stutter Dysfluency Classifier</title>
+<style>
+  body { font: 16px/1.5 system-ui, sans-serif; max-width: 40rem;
+         margin: 2rem auto; padding: 0 1rem; color: #1a1a2e; }
+  h1 { font-size: 1.4rem; }
+  fieldset { border: 1px solid #ccd; border-radius: 8px; padding: 1rem;
+             margin-bottom: 1rem; }
+  label { margin-right: 1rem; }
+  button { padding: .4rem 1.2rem; font-size: 1rem; cursor: pointer; }
+  table { border-collapse: collapse; margin-top: .75rem; width: 100%; }
+  th, td { text-align: left; padding: .3rem .6rem;
+           border-bottom: 1px solid #dde; }
+  td.num { font-variant-numeric: tabular-nums; text-align: right; }
+  .bar { height: .6rem; background: #5661b3; border-radius: 3px; }
+  #verdict { font-size: 1.2rem; margin: .75rem 0 .25rem; }
+  #verdict b { color: #5661b3; }
+  #err { color: #b00020; white-space: pre-wrap; }
+  .muted { color: #667; font-size: .85rem; }
+</style></head><body>
+<h1>Stutter Dysfluency Classifier</h1>
+<p class="muted">Upload a speech clip (wav / mp3 / m4a) to classify the
+dysfluency type. Served by <code>stutter_tpu</code>.</p>
+<fieldset>
+  <label>Audio file <input type="file" id="file"
+         accept=".wav,.mp3,.m4a,audio/*"></label><br><br>
+  <label>Model <select id="model"></select></label>
+  <label><input type="checkbox" id="denoise" checked> denoise first</label>
+  <br><br><button id="go" disabled>Classify</button>
+</fieldset>
+<div id="verdict"></div>
+<div id="out"></div>
+<div id="err"></div>
+<script>
+const $ = id => document.getElementById(id);
+fetch('/healthz').then(r => r.json()).then(h => {
+  for (const m of h.models) {
+    const o = document.createElement('option');
+    o.value = o.textContent = m;
+    if (m === 'ensemble') o.selected = true;  // headline model when loaded
+    $('model').appendChild(o);
+  }
+  $('go').disabled = false;
+}).catch(e => { $('err').textContent = 'healthz failed: ' + e; });
+$('go').onclick = async () => {
+  const f = $('file').files[0];
+  $('err').textContent = ''; $('verdict').textContent = '';
+  $('out').innerHTML = '';
+  if (!f) { $('err').textContent = 'choose an audio file first'; return; }
+  $('go').disabled = true; $('verdict').textContent = 'classifying…';
+  try {
+    const q = '?model=' + encodeURIComponent($('model').value)
+            + '&denoise=' + ($('denoise').checked ? '1' : '0');
+    const r = await fetch('/predict' + q, { method: 'POST', body: f });
+    const j = await r.json();
+    if (!r.ok) throw new Error(j.error || r.statusText);
+    $('verdict').innerHTML = 'Predicted: <b></b>';
+    $('verdict').querySelector('b').textContent = j.label;
+    const rows = Object.entries(j.proba).sort((a, b) => b[1] - a[1]).map(
+      ([c, p]) => { const tr = document.createElement('tr');
+        const td0 = document.createElement('td'); td0.textContent = c;
+        const td1 = document.createElement('td'); td1.className = 'num';
+        td1.textContent = (100 * p).toFixed(1) + '%';
+        const td2 = document.createElement('td'); td2.style.width = '40%';
+        const bar = document.createElement('div'); bar.className = 'bar';
+        bar.style.width = (100 * p).toFixed(1) + '%'; td2.appendChild(bar);
+        tr.append(td0, td1, td2); return tr; });
+    const tbl = document.createElement('table');
+    tbl.innerHTML = '<tr><th>class</th><th>probability</th><th></th></tr>';
+    for (const tr of rows) tbl.appendChild(tr);
+    $('out').appendChild(tbl);
+  } catch (e) { $('verdict').textContent = ''; $('err').textContent = e; }
+  $('go').disabled = false;
+};
+</script></body></html>
+"""
+
+
 def make_handler(
     predictor: Predictor,
     max_upload_bytes: int = MAX_UPLOAD_BYTES,
@@ -173,7 +265,15 @@ def make_handler(
             pass
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif path == "/healthz":
                 self._send(
                     200,
                     {
@@ -272,8 +372,10 @@ def serve(output_dir: str, cfg=None, port: int = 8501, warmup: bool = True,
         # bounded too (batch-capable models only)
         # predict_batch pads row counts to powers of two, so a batch_max of
         # e.g. 6 can still dispatch at B=8 — warm every slot up to
-        # next_pow2(batch_max)
-        top = 1 << max(batch_max - 1, 1).bit_length()
+        # next_pow2(batch_max).  batch_max < 2 can never coalesce, so no
+        # batch slots exist to warm (each compile is 30-300 s tunneled;
+        # warming an unreachable B=2 graph per bucket would be pure waste).
+        top = 1 << (batch_max - 1).bit_length() if batch_max > 1 else 1
         slots = tuple(
             1 << k for k in range(1, top.bit_length())
         ) if batch_window_ms > 0 else ()

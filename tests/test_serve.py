@@ -51,6 +51,24 @@ def test_healthz(server):
     assert r["status"] == "ok" and r["classes"] == ["neg", "pos"]
 
 
+def test_index_page(server):
+    """GET / serves the self-contained browser upload page (the reference's
+    user surface is a browser page on this same port, ref main1.py:952-999)."""
+    resp = urllib.request.urlopen(server + "/")
+    assert resp.headers["Content-Type"].startswith("text/html")
+    body = resp.read().decode()
+    # the page must be able to drive the API end-to-end on its own:
+    # model list from /healthz, upload POST to /predict, a results table
+    assert "/healthz" in body and "/predict" in body
+    assert "<input type=\"file\"" in body and "<select id=\"model\">" in body
+    # no external assets — the page works with zero egress
+    assert "http://" not in body and "https://" not in body
+    # unknown GET paths still 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope")
+    assert e.value.code == 404
+
+
 def test_predict_endpoint(server, rng):
     data = _wav_bytes((rng.randn(16000) * 0.2).astype(np.float32))
     req = urllib.request.Request(server + "/predict?denoise=0", data=data, method="POST")
