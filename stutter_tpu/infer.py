@@ -323,6 +323,13 @@ def _ensemble_seq_fused_impl(
     host<->device latency); fusing them into one jit makes the headline
     ensemble interactively servable like the reference's production model
     (ref: main1.py:988-995).
+
+    Same-ARCHITECTURE members (the quint carries three transformer recipes —
+    identical d96 graphs, different weights) stack their param trees on a
+    leading axis and run as ONE vmapped forward instead of M serial GEMM
+    chains: XLA lowers the stack to batched matmuls ([M, T, d] @ [M, d, d])
+    that keep the MXU fed at the B=1 interactive shape, where three
+    sequential [T, 96] chains each stall on their own latency.
     """
     import jax
     import jax.numpy as jnp
@@ -342,16 +349,146 @@ def _ensemble_seq_fused_impl(
             f = jnp.pad(f, ((0, 0), (0, t_max - T), (0, 0)))
         nv = jnp.minimum(mask.sum(axis=1).astype(jnp.int32), t_max)
         feats[kind] = (f, nv)
-    probs = []
-    for (kind, apply_fn), params, (mean, std) in zip(specs, params_list, norms):
+    return _member_forwards(feats, params_list, norms, specs)
+
+
+def _member_forwards(feats, params_list, norms, specs):
+    """Member forwards over shared per-kind features -> [M, B, C] probs.
+
+    Groups members by (kind, apply_fn, param-tree structure + leaf shapes):
+    only structurally identical trees can stack (trace-time grouping — specs
+    and tree shapes are static under jit).  Stacked groups run as one vmapped
+    forward; singletons run directly."""
+    import jax
+    import jax.numpy as jnp
+
+    groups: dict = {}
+    for i, ((kind, apply_fn), params) in enumerate(zip(specs, params_list)):
+        sig = (
+            kind, apply_fn, jax.tree.structure(params),
+            tuple(x.shape for x in jax.tree.leaves(params)),
+        )
+        groups.setdefault(sig, []).append(i)
+    probs: list = [None] * len(specs)
+    for (kind, apply_fn, _, _), idxs in groups.items():
         f, nv = feats[kind]
-        mb = jnp.arange(t_max)[None, :] < nv[:, None]
-        xs = ((f - mean) / std * mb[:, :, None]).astype(jnp.float32)
-        probs.append(jax.nn.softmax(apply_fn(params, xs, mb), -1))
+        mb = jnp.arange(f.shape[1])[None, :] < nv[:, None]
+        if len(idxs) == 1:
+            i = idxs[0]
+            mean, std = norms[i]
+            xs = ((f - mean) / std * mb[:, :, None]).astype(jnp.float32)
+            probs[i] = jax.nn.softmax(apply_fn(params_list[i], xs, mb), -1)
+        else:
+            stacked = jax.tree.map(
+                lambda *leaves: jnp.stack(leaves),
+                *(params_list[i] for i in idxs),
+            )
+            means = jnp.stack([norms[i][0] for i in idxs])
+            stds = jnp.stack([norms[i][1] for i in idxs])
+
+            def one(p, mean, std, apply_fn=apply_fn, f=f, mb=mb):
+                xs = ((f - mean) / std * mb[:, :, None]).astype(jnp.float32)
+                return jax.nn.softmax(apply_fn(p, xs, mb), -1)
+
+            out = jax.vmap(one)(stacked, means, stds)
+            for j, i in enumerate(idxs):
+                probs[i] = out[j]
     return jnp.stack(probs)
 
 
+def _ensemble_stream_fused_impl(
+    audio, length, starts_f, params_list, norms, *, specs, dn_cfg, denoise,
+    w_frames, win, sr, t_max=316
+):
+    """Stream-ONCE windowed inference through the vote: one dispatch per
+    audio segment — gate the segment once, compute the power spectrogram +
+    linear-mel frame sequence once, then every overlapping window is a
+    frame-range slice into those shared frames (dB conversion, MFCC/deltas
+    and member forwards run per window, batched over all windows).
+
+    The per-window path gates AND featurizes every second of audio ~3x at
+    the default 3 s / 1 s geometry (r4: 42 windows/s through the vote);
+    sharing the spectrogram makes featurization cost independent of the
+    overlap factor.  Per-window semantics preserved downstream of the
+    spectrogram: dB top_db ref is each WINDOW's own max (librosa power_to_db
+    per-clip semantics), MFCC deltas run per window with interp edges.
+    Deltas vs the per-window path are confined to (a) STFT frames within
+    n_fft/2 of a window edge, which here see real neighboring audio instead
+    of the constant pad, and (b) the gate's noise stats, fit on the whole
+    segment instead of each window (tests/test_infer.py pins the agreement).
+
+    audio: [1, S] segment (hop-multiple).  length: [] valid samples.
+    starts_f: [W] window starts in FRAMES (start sample = f * 512; the host
+    rounds requested starts to the frame grid, <= 16 ms).  Returns
+    [M, W, C] member probabilities (invalid/pad windows produce garbage
+    rows the host drops).
+    """
+    import jax.numpy as jnp
+
+    from stutter_tpu.denoise import denoise_batch
+    from stutter_tpu.ops import filterbanks as fb
+    from stutter_tpu.ops.delta import sg_delta
+    from stutter_tpu.ops.masked import frame_mask
+    from stutter_tpu.ops.spectral import (
+        HIGHEST,
+        db_from_mel,
+        mfcc_from_db,
+        power_spectrogram,
+    )
+
+    if denoise:
+        audio = denoise_batch(audio, length[None], dn_cfg)
+    power = power_spectrogram(audio, 2048, 512)  # [1, T_seg, 1025] — ONCE
+    mask = frame_mask(length[None], 512, power.shape[1])
+    power = jnp.where(mask[:, :, None], power, 0.0)
+    mel = jnp.einsum(
+        "btf,mf->btm", power, jnp.asarray(fb.mel_fb(sr, 2048, 128)),
+        precision=HIGHEST,
+    )[0]  # [T_seg, 128] linear mel — shared by every window and every kind
+    idx = starts_f[:, None] + jnp.arange(w_frames)[None, :]  # [W, w]
+    idx = jnp.minimum(idx, mel.shape[0] - 1)
+    # per-window valid frames: 1 + min(win, valid_len - start)//hop, matching
+    # prepare_sequence_dataset's nv for the equivalent sample slice
+    nv_w = 1 + jnp.clip(length - starts_f * 512, 0, win) // 512
+    mb = jnp.arange(w_frames)[None, :] < nv_w[:, None]
+    mel_w = jnp.where(mb[:, :, None], mel[idx], 0.0)  # [W, w, 128]
+    # Member forwards must see the SAME frame axis the training graph used
+    # (t_max): XLA's 'SAME' conv padding is asymmetric as a function of T,
+    # so running the heads at T=w_frames would shift every conv grid off the
+    # trained one (measured 0.17-0.28 logit drift).  Frames beyond w_frames
+    # zero-pad; the member mask (arange(t_max) < nv_w) zeroes them exactly
+    # like the per-window path's pad frames.
+    pad_t = ((0, 0), (0, t_max - w_frames), (0, 0))
+    feats: dict = {}
+    db = db_from_mel(mel_w, mb)  # per-WINDOW top_db ref (librosa semantics)
+    if any(k == "logmel" for k, _ in specs):
+        feats["logmel"] = (jnp.pad(db, pad_t), nv_w)
+    if any(k == "mfcc_deltas" for k, _ in specs):
+        mf = mfcc_from_db(db, 20)
+        d1 = sg_delta(mf, nv_w, 1)
+        d2 = sg_delta(mf, nv_w, 2)
+        feats["mfcc_deltas"] = (
+            jnp.pad(jnp.concatenate([mf, d1, d2], axis=-1), pad_t), nv_w
+        )
+    return _member_forwards(feats, params_list, norms, specs)
+
+
 _ENSEMBLE_FUSED = None
+_ENSEMBLE_STREAM_FUSED = None
+
+
+def _ensemble_stream_fused():
+    """Lazily-jitted module-level wrapper for the stream-once path (same
+    retrace-avoidance rationale as _ensemble_seq_fused)."""
+    global _ENSEMBLE_STREAM_FUSED
+    if _ENSEMBLE_STREAM_FUSED is None:
+        import jax
+
+        _ENSEMBLE_STREAM_FUSED = jax.jit(
+            _ensemble_stream_fused_impl,
+            static_argnames=("specs", "dn_cfg", "denoise", "w_frames", "win", "sr"),
+        )
+    return _ENSEMBLE_STREAM_FUSED
 
 
 def _ensemble_seq_fused():
@@ -593,28 +730,110 @@ class EnsemblePredictor:
         hop_s: float = 1.0,
         batch_size: int = 16,
         denoise: bool | None = None,
+        seg_samples: int = 1 << 20,
     ) -> list[dict]:
         """Long audio -> per-window predictions through the FULL weighted
-        vote (BASELINE config #5 on the headline model): overlapping windows
-        share fused predict_batch dispatches of up to batch_size clips, so a
-        minute of audio costs ~60/batch_size dispatches instead of 60."""
+        vote (BASELINE config #5 on the headline model), STREAM-ONCE: the
+        signal is processed in fixed-size segments (~65 s default), each
+        segment is gated and featurized ONCE, and every overlapping window
+        becomes a frame-range slice into the shared spectrogram inside one
+        fused dispatch (_ensemble_stream_fused_impl) — so the cost of the
+        3 s / 1 s default geometry no longer pays the ~3x featurization
+        overlap the per-window path did (r4: 42 windows/s; the redundant
+        work was the gate + STFT + mel per window).
+
+        Window starts round to the 512-sample frame grid (<= 16 ms shift vs
+        the requested hop; start_s/end_s report the ACTUAL window).  Votes
+        containing non-sequence members (MLP heads — off in production)
+        fall back to the per-window predict_batch path in chunks of
+        batch_size (the parameter is unused on the fused path)."""
+        import jax.numpy as jnp
+
+        from stutter_tpu.train.seq_pipeline import ARCHS
+
         tgt = self.cfg.features.frontend.sample_rate
         y = _resample_to(np.asarray(y, np.float32), sr, tgt)
         sr = tgt
         win = int(window_s * sr)
+        win = -(-win // 512) * 512  # hop-multiple window, like Predictor's
         hop = int(hop_s * sr)
         starts = list(range(0, max(len(y) - win // 2, 1), hop))
-        results: list[dict] = []
-        for s in range(0, len(starts), batch_size):
-            chunk = starts[s : s + batch_size]
-            outs = self.predict_batch(
-                [y[s0 : s0 + win] for s0 in chunk], sr, denoise=denoise
+        seq_members = [
+            (n, m) for n, m in self.members.items() if isinstance(m, SeqPredictor)
+        ]
+        if len(seq_members) < len(self.members):
+            results = []
+            for s in range(0, len(starts), batch_size):
+                chunk = starts[s : s + batch_size]
+                outs = self.predict_batch(
+                    [y[s0 : s0 + win] for s0 in chunk], sr, denoise=denoise
+                )
+                for s0, o in zip(chunk, outs):
+                    results.append({
+                        "start_s": s0 / sr,
+                        "end_s": min(s0 + win, len(y)) / sr,
+                        "label": o["label"],
+                        "proba": o["proba"],
+                    })
+            return results
+
+        # ---- fused stream-once path (all members are sequence heads) ----
+        SEG = -(-max(seg_samples, 2 * win) // 512) * 512
+        s_eff = SEG - win  # windows starting in [seg0, seg0+s_eff) fit fully
+        w_frames = win // 512 + 1
+        if w_frames > 316:
+            raise ValueError(
+                f"stream window {window_s}s exceeds the heads' trained frame "
+                f"capacity (t_max=316 frames = {315 * 512 / sr:.1f}s)"
             )
-            for s0, o in zip(chunk, outs):
+        w_cap = s_eff // hop + 1  # max windows per segment (static shape)
+        do_denoise = self.denoise_first if denoise is None else denoise
+        specs = tuple(
+            (ARCHS[m.arch]["kind"], ARCHS[m.arch]["apply_fn"])
+            for _, m in seq_members
+        )
+        params = tuple(m.params for _, m in seq_members)
+        norms = tuple(
+            (jnp.asarray(m.mean, jnp.float32), jnp.asarray(m.std, jnp.float32))
+            for _, m in seq_members
+        )
+        fused = _ensemble_stream_fused()
+        pending = []  # (aligned_starts, device_probs) — keeps one segment in flight
+        si = 0
+        while si < len(starts):
+            seg0 = (starts[si] // s_eff) * s_eff
+            seg_starts = []
+            while si < len(starts) and starts[si] < seg0 + s_eff:
+                seg_starts.append(starts[si])
+                si += 1
+            seg = y[seg0 : seg0 + SEG]
+            buf = np.zeros((1, SEG), np.float32)
+            buf[0, : len(seg)] = seg
+            starts_f = np.zeros(w_cap, np.int32)
+            for j, s0 in enumerate(seg_starts):
+                starts_f[j] = int(round((s0 - seg0) / 512))
+            P = fused(
+                jnp.asarray(buf), jnp.asarray(len(seg), jnp.int32),
+                jnp.asarray(starts_f), params, norms,
+                specs=specs, dn_cfg=self.cfg.denoise, denoise=bool(do_denoise),
+                w_frames=w_frames, win=win, sr=sr,
+            )
+            aligned = [seg0 + int(round((s0 - seg0) / 512)) * 512 for s0 in seg_starts]
+            pending.append((aligned, P))
+        results: list[dict] = []
+        for aligned, P in pending:
+            P = np.asarray(P)  # [M, w_cap, C]
+            for j, a0 in enumerate(aligned):
+                proba = np.zeros(len(self.classes_), np.float64)
+                for mi, (name, _) in enumerate(seq_members):
+                    proba += self.weights[name] * P[mi, j]
+                proba /= max(proba.sum(), 1e-12)
                 results.append({
-                    "start_s": s0 / sr,
-                    "end_s": min(s0 + win, len(y)) / sr,
-                    "label": o["label"],
-                    "proba": o["proba"],
+                    "start_s": a0 / sr,
+                    "end_s": min(a0 + win, len(y)) / sr,
+                    "label": self.classes_[int(np.argmax(proba))],
+                    "proba": {
+                        c: float(p) for c, p in zip(self.classes_, proba)
+                    },
                 })
         return results

@@ -231,37 +231,148 @@ def test_ensemble_predict_batch_matches_per_clip(tmp_path, rng):
             assert abs(solo["proba"][c] - b["proba"][c]) < 1e-4
 
 
-def test_ensemble_predict_stream(tmp_path, rng):
-    """Windowed streaming through the full vote: window timing/count match
-    the geometry and each window equals the per-clip prediction."""
+def test_ensemble_stacked_same_arch_matches_serial(tmp_path, rng):
+    """Same-architecture members (the quint's three transformer recipes)
+    stack on a leading param axis and run as one vmapped forward inside the
+    fused dispatch — member probabilities must equal the serial SeqPredictor
+    path exactly (same ops, different lowering)."""
+    import json
+    import os
+
+    import jax
+
+    from stutter_tpu.infer import EnsemblePredictor, SeqPredictor
+    from stutter_tpu.models.cnn import init_cnn
+    from stutter_tpu.models.transformer import init_transformer
+    from stutter_tpu.train.seq_pipeline import persist_seq_head
+
+    out = str(tmp_path)
+    classes = ["neg", "pos"]
+    # three transformer recipes = identical graphs, independent weights and
+    # normalization stats, plus one structurally different member (cnn)
+    for i, arch in enumerate(("transformer", "transformer_lr1e3",
+                              "transformer_mix4_lr1e3")):
+        persist_seq_head(
+            out, arch,
+            init_transformer(jax.random.PRNGKey(i), n_mels=128, n_classes=2),
+            rng.randn(128).astype(np.float32) * 0.1,
+            1.0 + rng.rand(128).astype(np.float32),
+            classes,
+        )
+    persist_seq_head(
+        out, "cnn", init_cnn(jax.random.PRNGKey(7), n_mels=128, n_classes=2),
+        np.zeros(128, np.float32), np.ones(128, np.float32), classes,
+    )
+    json.dump(
+        {"weights": {"transformer": 0.3, "transformer_lr1e3": 0.25,
+                     "transformer_mix4_lr1e3": 0.25, "cnn": 0.2},
+         "classes": classes},
+        open(os.path.join(out, "ensemble.json"), "w"),
+    )
+    pred = EnsemblePredictor.load(out, PipelineConfig())
+    clip = (rng.randn(16000) * 0.2).astype(np.float32)
+    r = pred.predict_clip(clip, 16000, denoise=False)
+    # distinct weights must produce distinct member probabilities (guards
+    # against the stack accidentally broadcasting one member's params)
+    p0 = [r["members"]["transformer"][c] for c in classes]
+    p1 = [r["members"]["transformer_lr1e3"][c] for c in classes]
+    assert not np.allclose(p0, p1, atol=1e-4)
+    for arch in ("transformer", "transformer_lr1e3",
+                 "transformer_mix4_lr1e3", "cnn"):
+        serial = SeqPredictor.load(out, arch, PipelineConfig()).predict_clip(
+            clip, 16000, denoise=False
+        )
+        for c in classes:
+            assert abs(r["members"][arch][c] - serial["proba"][c]) < 1e-5
+
+
+def _stream_ensemble(tmp_path, rng, archs=("cnn",), weights=None):
+    """Build a seq-only EnsemblePredictor from freshly-initialized heads."""
     import json
     import os
 
     import jax
 
     from stutter_tpu.infer import EnsemblePredictor
-    from stutter_tpu.models.cnn import init_cnn
-    from stutter_tpu.train.seq_pipeline import persist_seq_head
+    from stutter_tpu.train.seq_pipeline import ARCHS, persist_seq_head
 
     out = str(tmp_path)
     classes = ["neg", "pos"]
-    persist_seq_head(
-        out, "cnn", init_cnn(jax.random.PRNGKey(0), n_mels=128, n_classes=2),
-        np.zeros(128, np.float32), np.ones(128, np.float32), classes,
-    )
+    for i, arch in enumerate(archs):
+        spec = ARCHS[arch]
+        kw = spec["init_kwargs"](2)
+        D = kw.get("n_mels", kw.get("in_dim"))
+        persist_seq_head(
+            out, arch, spec["init_fn"](jax.random.PRNGKey(i), **kw),
+            np.zeros(D, np.float32), np.ones(D, np.float32), classes,
+        )
+    w = weights or {a: 1.0 / len(archs) for a in archs}
     json.dump(
-        {"weights": {"cnn": 1.0}, "classes": classes},
+        {"weights": w, "classes": classes},
         open(os.path.join(out, "ensemble.json"), "w"),
     )
-    pred = EnsemblePredictor.load(out, PipelineConfig())
-    y = (rng.randn(16000 * 3) * 0.2).astype(np.float32)  # 3 s
-    wins = pred.predict_stream(y, 16000, window_s=0.5, hop_s=1.0,
-                               batch_size=2, denoise=False)
-    assert len(wins) == 3  # starts at 0, 1, 2 s (len - win/2 bound)
-    assert wins[0]["start_s"] == 0.0 and abs(wins[0]["end_s"] - 0.5) < 1e-6
+    return EnsemblePredictor.load(out, PipelineConfig()), classes
+
+
+def test_ensemble_predict_stream_exact_parity(tmp_path, rng):
+    """Stream-once windowed inference == the per-window path EXACTLY when the
+    window boundaries are silent: the only semantic difference between the
+    paths is STFT frames within n_fft/2 of a window edge (the per-window
+    path zero-pads there, stream-once sees the neighboring audio), so a
+    signal with >= n_fft/2 zeros around every window boundary removes it.
+    Covers multi-segment processing, frame-grid window starts, stacked
+    same-arch members, and both feature kinds (log-mel + MFCC/deltas)."""
+    pred, classes = _stream_ensemble(
+        tmp_path, rng,
+        archs=("cnn", "cnn_bilstm", "transformer", "transformer_lr1e3"),
+        weights={"cnn": 0.3, "cnn_bilstm": 0.3, "transformer": 0.2,
+                 "transformer_lr1e3": 0.2},
+    )
+    win = 8192  # 0.512 s — a 512-multiple, so requested == aligned starts
+    n_w = 3
+    y = np.zeros(n_w * win, np.float32)
+    for k in range(n_w):
+        y[k * win + 1024 : (k + 1) * win - 1024] = (
+            rng.randn(win - 2048) * 0.2
+        )
+    # seg_samples = 2*win forces one segment per window -> 3 segments
+    wins = pred.predict_stream(
+        y, 16000, window_s=win / 16000, hop_s=win / 16000,
+        denoise=False, seg_samples=2 * win,
+    )
+    assert len(wins) == n_w
+    assert wins[0]["start_s"] == 0.0
+    assert abs(wins[0]["end_s"] - win / 16000) < 1e-6
     for w in wins:
-        s0 = int(w["start_s"] * 16000)
-        solo = pred.predict_clip(y[s0 : s0 + 8000], 16000, denoise=False)
+        s0 = int(round(w["start_s"] * 16000))
+        solo = pred.predict_clip(y[s0 : s0 + win], 16000, denoise=False)
         assert w["label"] == solo["label"]
         for c in classes:
-            assert abs(w["proba"][c] - solo["proba"][c]) < 1e-5
+            assert abs(w["proba"][c] - solo["proba"][c]) < 1e-4
+
+
+def test_ensemble_predict_stream_generic_agreement(tmp_path, rng):
+    """On generic audio the stream-once path differs from per-window only at
+    window-edge STFT frames (real neighbors vs constant pad) and by the
+    <= 16 ms frame-grid start rounding — window probabilities must stay
+    close in aggregate, and the geometry must follow the request."""
+    pred, classes = _stream_ensemble(tmp_path, rng)
+    y = (rng.randn(16000 * 6) * 0.2).astype(np.float32)  # 6 s
+    wins = pred.predict_stream(y, 16000, window_s=1.0, hop_s=0.7,
+                               denoise=False, seg_samples=1 << 16)
+    # starts: 0, 0.7, ..., < 6 - 0.512 -> ceil(5.488/0.7) = 8 windows
+    assert len(wins) == 8
+    starts = [w["start_s"] for w in wins]
+    assert starts == sorted(starts) and starts[0] == 0.0
+    # every aligned start within half a frame (16 ms) of the requested hop
+    for k, w in enumerate(wins):
+        assert abs(w["start_s"] - 0.7 * k) <= 512 / 16000 / 2 + 1e-9
+    deltas = []
+    for w in wins:
+        s0 = int(round(w["start_s"] * 16000))
+        solo = pred.predict_clip(y[s0 : s0 + 16384], 16000, denoise=False)
+        deltas.extend(
+            abs(w["proba"][c] - solo["proba"][c]) for c in classes
+        )
+    assert float(np.mean(deltas)) < 0.02  # edge-frame deltas only
+    assert float(np.max(deltas)) < 0.1
