@@ -164,17 +164,15 @@ def measure_stream_tpu(duration_s: int = 600, window_s: float = 3.0,
     return len(wins) / dt
 
 
-def measure_ensemble_tpu(n_reqs: int = 20, micro_batch: int = 8) -> tuple[float, float]:
-    """(p50 single-request latency ms, micro-batched ms/clip at B=micro_batch)
-    of the HEADLINE model: the weighted-vote quint (cnn + cnn_bilstm +
-    transformer x3 recipes, 76.2% CV) through EnsemblePredictor — gate + shared
-    featurization + all member forwards fused into ONE device dispatch
-    (infer._ensemble_seq_fused).  The second figure is what the serving
-    micro-batcher (serve.py --batch-window-ms) achieves per clip under
-    concurrent load via predict_batch.  Members are init-weight heads of the
-    production shapes: latency depends on shapes/graphs only, so the bench
-    stays self-contained (the real artifacts reproduce the same number,
-    docs/experiments_r4.md)."""
+def _load_or_build_ensemble():
+    """(EnsemblePredictor, 'production'|'synthetic'): the PRODUCTION artifact
+    set when a run_cv workspace exists (STUTTER_WORKSPACE env or
+    /root/workspace — what `serve --arch ensemble` actually loads), else
+    init-weight heads of the production shapes so the bench stays
+    self-contained (latency depends on shapes/graphs only; VERDICT r4 Weak #5
+    asked the driver-tracked history to measure real serving when possible)."""
+    import os
+
     import jax
 
     from stutter_tpu.config import PipelineConfig
@@ -182,6 +180,18 @@ def measure_ensemble_tpu(n_reqs: int = 20, micro_batch: int = 8) -> tuple[float,
     from stutter_tpu.train.seq_pipeline import ARCHS
 
     cfg = PipelineConfig()
+    out_dir = os.path.join(
+        os.environ.get("STUTTER_WORKSPACE", "/root/workspace"),
+        cfg.data.output_dir,
+    )
+    if os.path.exists(os.path.join(out_dir, "ensemble.json")):
+        try:
+            pred = EnsemblePredictor.load(out_dir, cfg)
+            pred.denoise_first = True
+            return pred, "production"
+        except Exception as e:  # noqa: BLE001 — fall back, but say so
+            print(f"# production artifact load failed ({e}); synthetic fallback",
+                  file=sys.stderr)
     classes = ["b", "p", "w"]
     key = jax.random.PRNGKey(0)
     members, weights = {}, {"cnn": 0.33, "cnn_bilstm": 0.19,
@@ -197,8 +207,19 @@ def measure_ensemble_tpu(n_reqs: int = 20, micro_batch: int = 8) -> tuple[float,
             mean=np.zeros(D, np.float32), std=np.ones(D, np.float32),
             classes_=classes, cfg=cfg,
         )
-    pred = EnsemblePredictor(members=members, weights=weights,
-                             classes_=classes, cfg=cfg)
+    return (EnsemblePredictor(members=members, weights=weights,
+                              classes_=classes, cfg=cfg), "synthetic")
+
+
+def measure_ensemble_tpu(pred, n_reqs: int = 20, micro_batch: int = 8) -> tuple[float, float]:
+    """(p50 single-request latency ms, micro-batched ms/clip at B=micro_batch)
+    of the HEADLINE model: the weighted-vote quint (cnn + cnn_bilstm +
+    transformer x3 recipes, 76.2% CV) through EnsemblePredictor — gate + shared
+    featurization + all member forwards fused into ONE device dispatch
+    (infer._ensemble_seq_fused; same-architecture members stack into one
+    vmapped forward).  The second figure is what the serving micro-batcher
+    (serve.py --batch-window-ms) achieves per clip under concurrent load via
+    predict_batch."""
     rng = np.random.RandomState(0)
     y = (rng.randn(48000) * 0.1).astype(np.float32)
     pred.predict_clip(y)  # compile + warm (3 s bucket)
@@ -217,6 +238,21 @@ def measure_ensemble_tpu(n_reqs: int = 20, micro_batch: int = 8) -> tuple[float,
         blat.append(time.time() - t0)
     return (float(np.median(lat) * 1e3),
             float(np.median(blat) * 1e3 / micro_batch))
+
+
+def measure_ensemble_stream_tpu(pred, duration_s: int = 240) -> float:
+    """Full weighted-vote streaming windows/s (VERDICT r4 Weak #1): overlapping
+    3 s windows at 1 s hop through EnsemblePredictor.predict_stream — the
+    stream-ONCE path (gate + spectrogram + mel computed once per ~65 s
+    segment; each window is a frame-range slice inside one fused dispatch).
+    The r4 per-window path measured 42 windows/s on production artifacts."""
+    rng = np.random.RandomState(1)
+    sr = 16000
+    y = (rng.randn(duration_s * sr) * 0.1).astype(np.float32)
+    pred.predict_stream(y[: 80 * sr], sr)  # compile + warm the segment shape
+    t0 = time.time()
+    wins = pred.predict_stream(y, sr)
+    return len(wins) / (time.time() - t0)
 
 
 def measure_denoise_cpu(n_clips: int = 8) -> float:
@@ -259,7 +295,9 @@ def main() -> int:
     den_cpu = measure_denoise_cpu()
     den_tpu, den_dt = measure_denoise_tpu()
     stream_rate = measure_stream_tpu()
-    ens_ms, ens_b8_ms = measure_ensemble_tpu()
+    ens_pred, ens_src = _load_or_build_ensemble()
+    ens_ms, ens_b8_ms = measure_ensemble_tpu(ens_pred)
+    ens_stream_rate = measure_ensemble_stream_tpu(ens_pred)
     fe_flops = frontend_flops(256, 49152)
     dn_flops, dn_bytes = denoise_flops_bytes(256, 49152)
     print(
@@ -274,6 +312,10 @@ def main() -> int:
                 "stream_windows_per_s": round(stream_rate, 1),
                 "ensemble_p50_ms_per_request": round(ens_ms, 1),
                 "ensemble_batch8_ms_per_clip": round(ens_b8_ms, 1),
+                "ensemble_stream_windows_per_s": round(ens_stream_rate, 1),
+                # 'production' = the run_cv artifact set serve.py loads;
+                # 'synthetic' = init-weight heads of the production shapes
+                "ensemble_artifacts": ens_src,
                 # roofline: achieved fraction of v5e bf16-MXU peak on the
                 # dominant GEMM terms (underestimates occupancy: VPU scans /
                 # elementwise excluded) and of HBM bandwidth

@@ -134,6 +134,7 @@ def cross_validate_seq(
     grid_chunk: int = 5,
     tta_crops: tuple = (),
     view_probas: list | None = None,
+    soft_targets: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """K-fold CV for a sequence head; returns (y_pred, y_proba) in row order.
 
@@ -158,7 +159,10 @@ def cross_validate_seq(
     crop adds 2 extra forward passes per grid chunk (training untouched).
     view_probas: pass a list to ALSO receive each view's own fold-voted
     out-of-fold probabilities ([N, C] per view, identity first) — lets one
-    training run compare identity vs TTA-averaged predictions."""
+    training run compare identity vs TTA-averaged predictions.
+    soft_targets [N, C]: distillation — train every grid entry on these
+    probability targets (soft cross-entropy) instead of the smoothed one-hot
+    labels; `y` keeps driving the folds/eval bookkeeping."""
     from stutter_tpu.train.seq_trainer import predict_seq_grid, train_seq_grid
     from stutter_tpu.train.trainer import shard_grid
 
@@ -183,8 +187,17 @@ def cross_validate_seq(
             seeds[g] = train_cfg.seed + s
     n_train = max(len(tr) for tr, _ in folds)
 
-    # equal chunks -> every chunk reuses one compiled (shape-identical) jit
-    chunk = max(1, min(grid_chunk, G))
+    # equal chunks -> every chunk reuses one compiled (shape-identical) jit.
+    # grid_chunk bounds PER-CHIP activation memory (a 25-entry CNN grid's
+    # forward activations crash a 16 GB chip), so with an n-device mesh the
+    # chunk scales by n: shard_grid splits each chunk's grid axis across the
+    # mesh (each chip trains chunk/n entries — same per-chip footprint, n x
+    # fewer serial chunks; the folds x seeds x archs grid is embarrassingly
+    # parallel, VERDICT r4 Weak #4).  Projected production wall-clock for
+    # `run_cv --seq --seq-seeds 5` is ~2944 s / n_devices (docs/parallel.md).
+    import jax
+
+    chunk = max(1, min(grid_chunk * jax.device_count(), G))
     while G % chunk:
         chunk -= 1
 
@@ -209,6 +222,8 @@ def cross_validate_seq(
             init_fn=spec["init_fn"], apply_fn=spec["apply_fn"],
             init_items=tuple(sorted(spec["init_kwargs"](n_classes).items())),
             n_classes=n_classes, cfg=train_cfg, n_train=n_train,
+            y_soft=None if soft_targets is None
+            else jnp.asarray(soft_targets, jnp.float32),
         )
         for v, (Xv, nvv) in enumerate(views):
             probs[v, g0:g1] = predict_seq_grid(

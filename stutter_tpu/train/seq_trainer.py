@@ -147,11 +147,14 @@ def train_sequence_model(
     init_kwargs: dict | None = None,
     ckpt_dir: str | None = None,
     ckpt_every: int = 500,
+    y_soft: np.ndarray | None = None,
 ) -> dict:
     """Train one sequence model; returns final params.
 
     With ckpt_dir set, training state (params + optimizer) checkpoints through
     Orbax every `ckpt_every` steps and resumes from the latest checkpoint.
+    y_soft [N, C]: soft probability targets replace the smoothed one-hot
+    labels (distillation; see train_seq_grid).
     """
     N, T, D = X.shape
     steps_per_epoch = max(1, N // cfg.batch_size)
@@ -176,6 +179,7 @@ def train_sequence_model(
     Xd = jnp.asarray(X)
     nvd = jnp.asarray(n_valid)
     yd = jnp.asarray(y)
+    ysd = None if y_soft is None else jnp.asarray(y_soft, jnp.float32)
 
     def loss_fn(params, xb, mb, targets):
         logits = apply_fn(params, xb, mb)
@@ -188,7 +192,10 @@ def train_sequence_model(
         xb, yb = Xd[idx], yd[idx]
         nvb = nvd[idx]
         mb = jnp.arange(T)[None, :] < nvb[:, None]
-        targets = optax.smooth_labels(jax.nn.one_hot(yb, n_classes), cfg.label_smoothing)
+        if ysd is not None:
+            targets = ysd[idx]
+        else:
+            targets = optax.smooth_labels(jax.nn.one_hot(yb, n_classes), cfg.label_smoothing)
         if cfg.time_masks or cfg.freq_masks:
             xb = _spec_augment(aug_rng, xb, nvb, cfg)
         if cfg.noise_std > 0.0:
@@ -247,11 +254,17 @@ def train_seq_grid(
     n_classes: int,
     cfg: SeqTrainConfig,
     n_train: int,
+    y_soft: jnp.ndarray | None = None,  # [N, C] soft targets (distillation)
 ) -> dict:
     """Train G independent sequence models simultaneously — folds x seeds in
     ONE jit, the way train_mlp_grid does for the MLP (VERDICT r2 Weak #3:
     the serial loop was ~50 separate jitted trainings; ref analogue is the CV
     training engine, main.py:918-948).
+
+    y_soft: per-row probability targets replace the smoothed one-hot labels
+    (soft cross-entropy — knowledge distillation from a teacher such as the
+    weighted vote's out-of-fold probabilities); `y` still drives nothing in
+    the loss then, but stays the eval/fold bookkeeping truth.
 
     The dataset is shared across the grid (vmap in_axes=None — it is NOT
     copied per entry); each entry carries only its sampling weights and its
@@ -288,9 +301,12 @@ def train_seq_grid(
             mb = jnp.arange(T)[None, :] < nvb[:, None]
             xb = (X[idx] - mean_i) / std_i * mb[:, :, None]
             yb = y[idx]
-            targets = optax.smooth_labels(
-                jax.nn.one_hot(yb, n_classes), cfg.label_smoothing
-            )
+            if y_soft is not None:
+                targets = y_soft[idx]
+            else:
+                targets = optax.smooth_labels(
+                    jax.nn.one_hot(yb, n_classes), cfg.label_smoothing
+                )
             if cfg.time_masks or cfg.freq_masks:
                 xb = _spec_augment(aug_rng, xb, nvb, cfg)
             if cfg.noise_std > 0.0:

@@ -63,3 +63,30 @@ def test_nested_vote_weights_never_fit_on_scored_fold(rng):
     _, _, weights = nested_weighted_vote({"cheat": cheat, "honest": honest}, y, folds)
     # fold 0's weights were fit on folds 1-3, where cheat is random
     assert weights[0]["honest"] > weights[0]["cheat"]
+
+
+def test_bootstrap_vote_band_matches_point_and_spreads(rng):
+    """bootstrap_vote_band's point estimate equals the reference-protocol
+    (per-fold mean) accuracy of nested_weighted_vote's predictions, and the
+    bootstrap spread is a real, nonzero band (VERDICT r4 Weak #5)."""
+    from stutter_tpu.train.ensemble import bootstrap_vote_band, nested_weighted_vote
+
+    n, C = 120, 3
+    y = rng.randint(0, C, n)
+    good = np.eye(C)[y] * 0.5 + rng.rand(n, C) * 0.5
+    good /= good.sum(-1, keepdims=True)
+    noisy = rng.rand(n, C)
+    noisy /= noisy.sum(-1, keepdims=True)
+    probas = {"good": good.astype(np.float32), "noisy": noisy.astype(np.float32)}
+    folds = [
+        (np.setdiff1d(np.arange(n), te), te)
+        for te in np.array_split(np.arange(n), 3)
+    ]
+
+    pred, _, _ = nested_weighted_vote(probas, y, folds, step=0.25)
+    ref_acc = float(np.mean([(pred[te] == y[te]).mean() for _, te in folds])) * 100
+
+    band = bootstrap_vote_band(probas, y, folds, step=0.25, n_boot=30, seed=1)
+    assert abs(band["point"] - ref_acc) < 1e-9
+    assert band["std"] > 0.0
+    assert band["lo95"] <= band["mean"] <= band["hi95"]

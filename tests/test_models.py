@@ -316,3 +316,41 @@ def test_default_train_cfg_recipes():
         tc = default_train_cfg(arch, epochs=80)
         assert (tc.mixup_alpha, tc.learning_rate) == (mixup, lr), arch
         assert tc.epochs == 80 and tc.batch_size == 64
+
+
+def test_seq_grid_soft_targets_drive_the_loss(rng):
+    """Distillation knob (VERDICT r4 Next #5): y_soft probability targets
+    replace the one-hot labels in train_seq_grid — training on deliberately
+    class-swapped soft targets must make the model learn the SWAPPED mapping,
+    proving the soft targets (not y) drive the loss."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.models.cnn import apply_cnn, init_cnn
+    from stutter_tpu.train.seq_trainer import (
+        SeqTrainConfig,
+        predict_seq_grid,
+        train_seq_grid,
+    )
+
+    n, T, D = 64, 12, 6
+    y = rng.randint(0, 2, n)
+    X = (rng.randn(n, T, D) * 0.1).astype(np.float32) + y[:, None, None] * 0.8
+    nv = np.full(n, T, np.int32)
+    y_soft = np.eye(2, dtype=np.float32)[1 - y]  # swapped classes
+    cfg = SeqTrainConfig(epochs=12, batch_size=16)
+    kw = dict(
+        init_fn=init_cnn, apply_fn=apply_cnn,
+        init_items=(("channels", (8,)), ("n_classes", 2), ("n_mels", D)),
+        n_classes=2, cfg=cfg, n_train=n,
+    )
+    args = (
+        jnp.asarray(X), jnp.asarray(nv), jnp.asarray(y),
+        jnp.ones((1, n), jnp.float32), jnp.zeros((1, D), jnp.float32),
+        jnp.ones((1, D), jnp.float32), jnp.zeros(1, jnp.int32),
+    )
+    params = train_seq_grid(*args, y_soft=jnp.asarray(y_soft), **kw)
+    probs = predict_seq_grid(
+        apply_cnn, params, X, nv, np.zeros((1, D), np.float32),
+        np.ones((1, D), np.float32),
+    )[0]
+    assert (probs.argmax(-1) == (1 - y)).mean() > 0.9
