@@ -255,6 +255,27 @@ def measure_ensemble_stream_tpu(pred, duration_s: int = 240) -> float:
     return len(wins) / (time.time() - t0)
 
 
+def measure_tunnel_rtt() -> float:
+    """p50 round-trip of a trivial dispatch+sync (ms).  Over the tunneled
+    axon backend this varies 10-30 ms across sessions and floors every
+    per-REQUEST latency figure below (p50 request latency ≈ compute +
+    this RTT); throughput figures amortize it over the iteration loop and
+    are unaffected.  Recorded so latency numbers can be compared across
+    driver rounds measured in different tunnel sessions."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: (a * 2.0).sum())
+    x = jnp.ones((8, 8))
+    float(f(x))  # compile + warm
+    ts = []
+    for _ in range(20):
+        t0 = time.time()
+        float(f(x))
+        ts.append(time.time() - t0)
+    return float(np.median(ts) * 1e3)
+
+
 def measure_denoise_cpu(n_clips: int = 8) -> float:
     """Single-threaded CPU reference path: per-clip oracle spectral gate."""
     from stutter_tpu.oracle.denoise import denoise_clip
@@ -290,6 +311,7 @@ def measure_cpu(n_clips: int = 12) -> float:
 
 
 def main() -> int:
+    rtt_ms = measure_tunnel_rtt()
     cpu_rate = measure_cpu()
     tpu_rate, fe_dt = measure_tpu()
     den_cpu = measure_denoise_cpu()
@@ -316,6 +338,9 @@ def main() -> int:
                 # 'production' = the run_cv artifact set serve.py loads;
                 # 'synthetic' = init-weight heads of the production shapes
                 "ensemble_artifacts": ens_src,
+                # p50 of a trivial dispatch+sync: the tunnel's session-
+                # dependent floor under every per-request latency above
+                "tunnel_rtt_ms_p50": round(rtt_ms, 1),
                 # roofline: achieved fraction of v5e bf16-MXU peak on the
                 # dominant GEMM terms (underestimates occupancy: VPU scans /
                 # elementwise excluded) and of HBM bandwidth
