@@ -38,6 +38,28 @@ import numpy as np
 from stutter_tpu.infer import Predictor
 
 
+class _Gauge:
+    """Count of /predict requests inside the HTTP handler that have not yet
+    been queued into a batcher — while nonzero, more clips may still join
+    the batch a worker is assembling (they are mid body-read / decode)."""
+
+    def __init__(self):
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def inc(self):
+        with self._lock:
+            self._n += 1
+
+    def dec(self):
+        with self._lock:
+            self._n -= 1
+
+    def value(self) -> int:
+        with self._lock:
+            return self._n
+
+
 class _MicroBatcher:
     """Coalesces concurrent /predict requests into predict_batch dispatches.
 
@@ -47,10 +69,15 @@ class _MicroBatcher:
     instead parks arrivals for a short window (default 5 ms) and runs every
     clip that accumulated — up to max_batch — through ONE predict_batch
     dispatch, so concurrent load amortizes the dispatch instead of queueing
-    behind it.  Every request — including a lone one — pays the full batch
-    window before dispatch (the worker always waits out the window unless
-    max_batch fills first), so p50 at low load is the unbatched latency plus
-    ~window_ms.
+    behind it.
+
+    The window is an upper bound, not a tax: with an ``arrivals`` gauge
+    (the server counts /predict requests that entered the handler but have
+    not queued yet), the worker dispatches as soon as that count hits zero —
+    a lone request never waits out the window, and a concurrent burst
+    dispatches the moment its last member queues instead of at window
+    expiry.  Without a gauge (arrivals=None) the worker waits the full
+    window, the pre-r5 behavior.
 
     Requests are grouped by their (denoise, sr) pair before dispatch —
     different flags cannot share a graph.  A dispatch error fails every
@@ -58,19 +85,25 @@ class _MicroBatcher:
     just the clip that caused it.
     """
 
-    def __init__(self, predictor, window_ms: float = 5.0, max_batch: int = 8):
+    def __init__(self, predictor, window_ms: float = 5.0, max_batch: int = 8,
+                 arrivals: _Gauge | None = None):
         self.predictor = predictor
         self.window = window_ms / 1e3
         self.max_batch = max_batch
+        self.arrivals = arrivals
         self._cv = threading.Condition()
         self._pending: list[dict] = []
         threading.Thread(target=self._run, daemon=True).start()
 
-    def predict(self, y, sr: int, denoise: bool) -> dict:
+    def predict(self, y, sr: int, denoise: bool, on_queued=None) -> dict:
         item = {"y": y, "sr": sr, "denoise": denoise,
                 "ev": threading.Event(), "out": None, "err": None}
         with self._cv:
             self._pending.append(item)
+            if on_queued is not None:
+                # decrement the arrivals gauge atomically with the append so
+                # the worker never sees (queued, still-counted-as-arriving)
+                on_queued()
             self._cv.notify()
         item["ev"].wait()
         if item["err"] is not None:
@@ -84,10 +117,18 @@ class _MicroBatcher:
                     self._cv.wait()
                 deadline = time.time() + self.window
                 while len(self._pending) < self.max_batch:
+                    if self.arrivals is not None and self.arrivals.value() == 0:
+                        # every /predict request the server has parsed is
+                        # already queued (here or in another model's
+                        # batcher) — nothing else can join this batch, so
+                        # waiting out the window would be pure added latency
+                        break
                     remaining = deadline - time.time()
                     if remaining <= 0:
                         break
-                    self._cv.wait(remaining)
+                    # poll at <=1 ms: gauge decrements via OTHER batchers do
+                    # not notify this condition variable
+                    self._cv.wait(min(remaining, 1e-3))
                 batch = self._pending[: self.max_batch]
                 del self._pending[: self.max_batch]
             groups: dict = {}
@@ -239,9 +280,13 @@ def make_handler(
     sr = predictor.cfg.features.frontend.sample_rate
     models = {"mlp": predictor, **(seq_predictors or {})}
     # batch_window_ms > 0 coalesces concurrent requests per batch-capable
-    # model (those exposing predict_batch) into single fused dispatches
+    # model (those exposing predict_batch) into single fused dispatches.
+    # The shared arrivals gauge counts /predict requests still being parsed:
+    # a batcher dispatches as soon as it hits zero, so a lone request skips
+    # the window entirely and a burst dispatches when its last clip queues.
+    arrivals = _Gauge()
     batchers = {
-        name: _MicroBatcher(m, batch_window_ms, batch_max)
+        name: _MicroBatcher(m, batch_window_ms, batch_max, arrivals=arrivals)
         for name, m in models.items()
         if batch_window_ms > 0 and hasattr(m, "predict_batch")
     }
@@ -289,6 +334,24 @@ def make_handler(
         def do_POST(self):
             parsed = urlparse(self.path)
             q = parse_qs(parsed.query)
+            # count this request as "arriving" from before the body read
+            # until it queues into a batcher (or fails first) — single-
+            # threaded per request, so the once-flag needs no lock
+            tracking = [parsed.path == "/predict" and bool(batchers)]
+            if tracking[0]:
+                arrivals.inc()
+
+            def _queued():
+                if tracking[0]:
+                    tracking[0] = False
+                    arrivals.dec()
+
+            try:
+                self._do_post(parsed, q, _queued)
+            finally:
+                _queued()
+
+        def _do_post(self, parsed, q, _queued):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError:
@@ -319,7 +382,8 @@ def make_handler(
                     dn = q.get("denoise", ["1"])[0] != "0"
                     if model in batchers:
                         # the batcher's worker serializes dispatches itself
-                        out = batchers[model].predict(y, sr, dn)
+                        out = batchers[model].predict(y, sr, dn,
+                                                      on_queued=_queued)
                     else:
                         with locks[model]:
                             # per-request flag: never mutate the shared Predictor
