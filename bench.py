@@ -276,6 +276,30 @@ def measure_tunnel_rtt() -> float:
     return float(np.median(ts) * 1e3)
 
 
+def measure_tunnel_h2d(mb: int = 32) -> float:
+    """Host->device transfer bandwidth (MB/s) over the tunneled backend.
+    Like the dispatch RTT, this varies by tunnel session and floors every
+    metric that ships large host buffers per call — most visibly
+    stream_windows_per_s, whose 600 s stream moves ~115 MB of assembled
+    window batches H2D (the 86.7 vs 235.9 windows/s swing across sessions
+    is this bandwidth, not device compute).  Recorded so those figures can
+    be compared like for like across driver rounds."""
+    import jax
+
+    buf = np.zeros(mb * 1024 * 1024 // 4, np.float32)
+    # warm with the SAME shape: the scalar read-back compiles a tiny
+    # executable per shape (30-300 s over the tunnel) — keep it out of
+    # the timed loop
+    float(jax.device_put(buf)[0])
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        r = jax.device_put(buf)
+        float(r[0])  # scalar read-back forces transfer completion
+        rates.append(mb / (time.time() - t0))
+    return float(np.median(rates))
+
+
 def measure_denoise_cpu(n_clips: int = 8) -> float:
     """Single-threaded CPU reference path: per-clip oracle spectral gate."""
     from stutter_tpu.oracle.denoise import denoise_clip
@@ -312,6 +336,7 @@ def measure_cpu(n_clips: int = 12) -> float:
 
 def main() -> int:
     rtt_ms = measure_tunnel_rtt()
+    h2d_rate = measure_tunnel_h2d()
     cpu_rate = measure_cpu()
     tpu_rate, fe_dt = measure_tpu()
     den_cpu = measure_denoise_cpu()
@@ -341,6 +366,10 @@ def main() -> int:
                 # p50 of a trivial dispatch+sync: the tunnel's session-
                 # dependent floor under every per-request latency above
                 "tunnel_rtt_ms_p50": round(rtt_ms, 1),
+                # H2D bandwidth: the session-dependent floor under metrics
+                # that ship large host buffers per call (stream_windows_per_s
+                # moves ~115 MB of window batches over the tunnel)
+                "tunnel_h2d_mb_per_s": round(h2d_rate, 1),
                 # roofline: achieved fraction of v5e bf16-MXU peak on the
                 # dominant GEMM terms (underestimates occupancy: VPU scans /
                 # elementwise excluded) and of HBM bandwidth
