@@ -130,9 +130,9 @@ def measure_stream_tpu(duration_s: int = 600, window_s: float = 3.0,
                        hop_s: float = 1.0) -> float:
     """Streaming windowed inference (BASELINE config #5): windows/s over a
     long clip through Predictor.predict_stream (overlapping 3 s windows at
-    1 s hop, batch-256 on-device extraction+classification, double-buffered
-    dispatch).  Includes the host-side window assembly + H2D transfer that a
-    real streaming deployment pays."""
+    1 s hop, stream-once: each ~65 s segment ships H2D once and the windows
+    are rebuilt on-device as frame-row slices, double-buffered dispatch).
+    Includes the segment H2D transfer a real streaming deployment pays."""
     import jax
 
     from stutter_tpu.config import PipelineConfig
@@ -153,10 +153,10 @@ def measure_stream_tpu(duration_s: int = 600, window_s: float = 3.0,
     )
     sr = 16000
     y = (rng.randn(duration_s * sr) * 0.1).astype(np.float32)
-    # warm the compile on a slice long enough to hit the full 256-window
-    # batch shape (short requests route to smaller power-of-2 batch buckets,
-    # so a short warm slice would leave the 256 shape cold and the timed run
-    # would pay its compile)
+    # warm the compile on a slice long enough to hit the capped segment
+    # shape (short requests route to smaller power-of-2 segment buckets, so
+    # a short warm slice would leave the 1<<20 SEG shape cold and the timed
+    # run would pay its compile)
     pred.predict_stream(y[: 300 * sr], sr, window_s=window_s, hop_s=hop_s)
     t0 = time.time()
     wins = pred.predict_stream(y, sr, window_s=window_s, hop_s=hop_s)
@@ -278,12 +278,13 @@ def measure_tunnel_rtt() -> float:
 
 def measure_tunnel_h2d(mb: int = 32) -> float:
     """Host->device transfer bandwidth (MB/s) over the tunneled backend.
-    Like the dispatch RTT, this varies by tunnel session and floors every
-    metric that ships large host buffers per call — most visibly
-    stream_windows_per_s, whose 600 s stream moves ~115 MB of assembled
-    window batches H2D (the 86.7 vs 235.9 windows/s swing across sessions
-    is this bandwidth, not device compute).  Recorded so those figures can
-    be compared like for like across driver rounds."""
+    Like the dispatch RTT, this varies by tunnel session (measured 50-150
+    MB/s) and floors every metric that ships large host buffers per call.
+    It is WHY the streaming paths are stream-once (one segment transfer,
+    windows rebuilt on-device): the old host-assembled window batches moved
+    ~115 MB per 600 s stream and swung 86.7-235.9 windows/s with the
+    session; stream-once moves the ~38 MB of raw audio once.  Recorded so
+    transfer-bound figures compare like for like across driver rounds."""
     import jax
 
     buf = np.zeros(mb * 1024 * 1024 // 4, np.float32)
@@ -367,8 +368,8 @@ def main() -> int:
                 # dependent floor under every per-request latency above
                 "tunnel_rtt_ms_p50": round(rtt_ms, 1),
                 # H2D bandwidth: the session-dependent floor under metrics
-                # that ship large host buffers per call (stream_windows_per_s
-                # moves ~115 MB of window batches over the tunnel)
+                # that ship large host buffers (the stream paths ship each
+                # audio segment once; windows are rebuilt on-device)
                 "tunnel_h2d_mb_per_s": round(h2d_rate, 1),
                 # roofline: achieved fraction of v5e bf16-MXU peak on the
                 # dominant GEMM terms (underestimates occupancy: VPU scans /

@@ -3,9 +3,12 @@
 Mirrors the reference's upload-predict path (ref: main.py:1011-1035,
 main1.py:952-999): clean -> extract -> shape guard -> scale -> predict with
 per-class probabilities.  Adds the TPU-native streaming mode from
-BASELINE.json config #5: overlapping 3 s windows, batch-256 on-device
-extraction + classification, with double-buffered host->device transfer so
-feature extraction of batch k+1 overlaps classification of batch k.
+BASELINE.json config #5, STREAM-ONCE on every model: the signal ships to
+the device in ~65 s segments (one transfer each) and the overlapping
+windows are rebuilt on-device — frame-row slices of the segment for the
+MLP head (_mlp_stream_fused), frame-range slices of a shared spectrogram
+for the ensemble (_ensemble_stream_fused_impl) — with the host preparing
+segment k+1 while segment k computes.
 """
 
 from __future__ import annotations
@@ -35,6 +38,59 @@ def _resample_to(y: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
 
         return resample(np.asarray(y, np.float32), sr, target_sr).astype(np.float32)
     return y
+
+
+# jitted stream-once MLP inference, cached per (extractor, win, SEG) so the
+# graph is traced once per geometry, not per call (tunnel compiles are
+# 30-300 s; same rationale as ops/frontend._SHARDED_FNS)
+_MLP_STREAM_FNS: dict = {}
+
+
+def _mlp_stream_fused(extract_batch, win: int, seg: int):
+    """One-dispatch stream-once step for Predictor.predict_stream: rebuild
+    every overlapping window of a segment ON-DEVICE (frame-row gather — rows
+    of 512 contiguous samples, the layout TPU gathers handle well; never a
+    per-element gather), then run the shared 149-dim extract + seed-grid MLP.
+
+    The window batch it rebuilds is bit-identical to the host-assembled
+    [W, win] batch of the old per-window path (for frame-aligned starts), so
+    outputs are exact — the only thing that changed is WHERE the windows are
+    materialized: after the tunnel instead of before it (1x audio H2D
+    instead of ~win/hop x).
+    """
+    key = (
+        getattr(extract_batch, "func", extract_batch),
+        tuple(sorted(getattr(extract_batch, "keywords", {}).items())),
+        win,
+        seg,
+    )
+    fn = _MLP_STREAM_FNS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from stutter_tpu.train.trainer import predict_proba_grid
+
+        w_rows = win // 512
+
+        def impl(seg_audio, seg_len, starts_f, params, mean, scale):
+            # seg_audio: [SEG] zero-padded; starts_f: [W] frame starts
+            rows = seg_audio.reshape(-1, 512)
+            idx = starts_f[:, None] + jnp.arange(w_rows)[None, :]  # [W, w_rows]
+            batch = rows[idx].reshape(starts_f.shape[0], win)
+            # beyond-signal samples are zeros in seg_audio (host zero-pads the
+            # buffer), matching the per-window path's zero pad exactly
+            lens = jnp.clip(seg_len - starts_f * 512, 1, win).astype(jnp.int32)
+            feats = extract_batch(batch, lens)
+            xs = (feats - mean) / scale
+            n_seeds = jax.tree_util.tree_leaves(params)[0].shape[0]
+            return predict_proba_grid(
+                params, jnp.broadcast_to(xs, (n_seeds, *xs.shape))
+            ).mean(axis=0)
+
+        fn = jax.jit(impl)
+        _MLP_STREAM_FNS[key] = fn
+    return fn
 
 
 @dataclasses.dataclass
@@ -122,42 +178,67 @@ class Predictor:
         window_s: float = 3.0,
         hop_s: float = 1.0,
         batch_size: int = 256,
+        seg_samples: int = 1 << 20,
     ) -> list[dict]:
-        """Long audio -> per-window predictions via overlapping windows.
+        """Long audio -> per-window predictions via overlapping windows,
+        STREAM-ONCE: the signal ships to the device in fixed ~65 s segments
+        (ONE transfer each) and every overlapping window is rebuilt on-device
+        as a frame-row slice of the segment before the shared extract +
+        classify dispatch (_mlp_stream_fused).
 
-        Windows are extracted+classified in device batches; the host
-        prepares batch k+1 while batch k computes (double buffering via
-        JAX async dispatch).
+        The per-window path assembled the [B, win] window batches on host, so
+        the default 3 s / 1 s geometry shipped every second of audio ~3x over
+        the tunneled PCIe link — H2D bandwidth (bench.py's
+        tunnel_h2d_mb_per_s, 50-150 MB/s by session) was the measured
+        bottleneck, not device compute (the frontend runs 256 windows in
+        ~4.2 ms).  Rebuilding windows on-device cuts the bytes moved to 1x
+        the audio and removes the host memcpy loop on the 1-core box.
+
+        Window starts round to the 512-sample frame grid (<= 16 ms shift vs
+        the requested hop; start_s/end_s report the ACTUAL window) — the same
+        stream geometry contract as EnsemblePredictor.predict_stream.  For
+        frame-aligned starts the rebuilt window batch is bit-identical to the
+        host-assembled one, so per-window outputs match the one-clip path
+        exactly (pinned by tests/test_infer.py).  `batch_size` is kept for
+        API compatibility; windows batch per segment (w_cap = seg/hop).
         """
         import jax.numpy as jnp
 
         from stutter_tpu.ops.frontend import batch_extractor_for
-        from stutter_tpu.train.trainer import predict_proba_grid
 
         extract_batch, _ = batch_extractor_for(self.cfg.features)
+        y = _resample_to(np.asarray(y, np.float32), sr, self.cfg.features.frontend.sample_rate)
+        sr = self.cfg.features.frontend.sample_rate
 
         win = int(window_s * sr)
         win = -(-win // 512) * 512  # hop-multiple bucket
         hop = int(hop_s * sr)
         starts = list(range(0, max(len(y) - win // 2, 1), hop))
-        # Batch bucket sized to the request: a short clip must not pay for a
-        # full batch_size of padded frontend work (a 4-window request padded
-        # to 256 costs 64x the compute — ~150 s/request on the 1-core CPU
-        # backend, measured).  Power-of-2 buckets keep the set of compiled
-        # shapes small (8, 16, ..., batch_size) across a server's lifetime.
-        if len(starts) < batch_size:
-            batch_size = max(8, 1 << (len(starts) - 1).bit_length())
-        results: list[dict] = []
-        pending = []  # (starts_chunk, device_future)
+        # segment size: power-of-2-bucketed (compiles stay few across request
+        # lengths), capped at seg_samples, floored so one window always fits
+        need = starts[-1] + 2 * win
+        SEG = max(min(seg_samples, 1 << (need - 1).bit_length()), 2 * win)
+        SEG = -(-SEG // 512) * 512
+        s_eff = SEG - win  # windows starting in [seg0, seg0+s_eff) fit fully
+        # power-of-2 window-slot count: keeps compiled shapes few across
+        # requests and the Pallas frontend's batch grid happy
+        w_cap = s_eff // hop + 1
+        w_cap = max(8, 1 << (w_cap - 1).bit_length())
+        fused = _mlp_stream_fused(extract_batch, win, SEG)
+        mean = jnp.asarray(self.scaler.mean_, jnp.float32)
+        scale = jnp.asarray(self.scaler.scale_, jnp.float32)
 
-        def flush(starts_chunk, probs):
+        results: list[dict] = []
+        pending = []  # (aligned_starts, device_future) — one segment in flight
+
+        def flush(aligned, probs):
             probs = np.asarray(probs)
-            for s0, p in zip(starts_chunk, probs):
+            for a0, p in zip(aligned, probs):
                 pred = int(np.argmax(p))
                 results.append(
                     {
-                        "start_s": s0 / sr,
-                        "end_s": min(s0 + win, len(y)) / sr,
+                        "start_s": a0 / sr,
+                        "end_s": min(a0 + win, len(y)) / sr,
                         "label": self.label_encoder.classes_[pred],
                         "proba": {
                             c: float(v) for c, v in zip(self.label_encoder.classes_, p)
@@ -165,28 +246,32 @@ class Predictor:
                     }
                 )
 
-        mean = jnp.asarray(self.scaler.mean_)
-        scale = jnp.asarray(self.scaler.scale_)
-
-        for s in range(0, len(starts), batch_size):
-            chunk = starts[s : s + batch_size]
-            # pad partial batches to batch_size: a ragged final batch would
-            # trigger a fresh jit compile for its shape
-            batch = np.zeros((batch_size, win), np.float32)
-            lens = np.zeros(batch_size, np.int32)
-            for j, s0 in enumerate(chunk):
-                seg = y[s0 : s0 + win]
-                batch[j, : len(seg)] = seg
-                lens[j] = len(seg)
-            lens[len(chunk) :] = win  # dummy rows; discarded below
-            feats = extract_batch(jnp.asarray(batch), jnp.asarray(lens))
-            xs = (feats - mean) / scale
-            probs = predict_proba_grid(
+        si = 0
+        while si < len(starts):
+            seg0 = (starts[si] // s_eff) * s_eff
+            seg_starts = []
+            while si < len(starts) and starts[si] < seg0 + s_eff:
+                seg_starts.append(starts[si])
+                si += 1
+            seg = y[seg0 : seg0 + SEG]
+            buf = np.zeros(SEG, np.float32)
+            buf[: len(seg)] = seg
+            starts_f = np.zeros(w_cap, np.int32)  # pad slots recompute slot 0
+            aligned = []
+            for j, s0 in enumerate(seg_starts):
+                f = int(round((s0 - seg0) / 512))
+                starts_f[j] = f
+                aligned.append(seg0 + f * 512)
+            probs = fused(
+                jnp.asarray(buf),
+                jnp.asarray(len(seg), jnp.int32),
+                jnp.asarray(starts_f),
                 self.model.params,
-                jnp.broadcast_to(xs, (self.model.n_seeds, *xs.shape)),
-            ).mean(axis=0)
-            # async dispatch: keep one batch in flight
-            pending.append((chunk, probs))
+                mean,
+                scale,
+            )[: len(seg_starts)]
+            # async dispatch: host prepares segment k+1 while k computes
+            pending.append((aligned, probs))
             if len(pending) > 1:
                 flush(*pending.pop(0))
         for item in pending:

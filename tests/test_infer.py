@@ -61,9 +61,34 @@ def test_streaming_windows(predictor, rng):
     wins = predictor.predict_stream(y, window_s=3.0, hop_s=2.0, batch_size=2)
     assert len(wins) >= 3
     assert wins[0]["start_s"] == 0.0
-    assert wins[1]["start_s"] == 2.0
-    for w in wins:
+    # window starts round to the 512-sample frame grid (<= 16 ms of the
+    # requested hop) — the same stream geometry contract as the ensemble path
+    for k, w in enumerate(wins):
+        assert abs(w["start_s"] - 2.0 * k) <= 512 / 16000 / 2 + 1e-9
         assert abs(sum(w["proba"].values()) - 1) < 1e-5
+
+
+def test_streaming_stream_once_exact_parity(predictor, rng):
+    """Stream-once == one-clip predictions EXACTLY when the requested
+    geometry is frame-aligned: the on-device frame-row rebuild of each
+    window is bit-identical to the host-assembled clip, so probabilities
+    must match predict_clip on the same samples.  seg_samples forces
+    multiple segments to cover the segment-boundary bookkeeping."""
+    win, hop = 16384, 8192  # 512-multiples: requested == aligned starts
+    y = (rng.randn(16000 * 7) * 0.2).astype(np.float32)
+    wins = predictor.predict_stream(
+        y, window_s=win / 16000, hop_s=hop / 16000, seg_samples=2 * win
+    )
+    n_exp = len(range(0, len(y) - win // 2, hop))
+    assert len(wins) == n_exp
+    for k, w in enumerate(wins):
+        s0 = int(round(w["start_s"] * 16000))
+        assert s0 == k * hop
+        assert abs(w["end_s"] - min(s0 + win, len(y)) / 16000) < 1e-9
+        solo = predictor.predict_clip(y[s0 : s0 + win])
+        assert w["label"] == solo["label"]
+        for c in solo["proba"]:
+            assert abs(w["proba"][c] - solo["proba"][c]) < 1e-5
 
 
 def test_ensemble_predictor_unit(tmp_path, rng):
