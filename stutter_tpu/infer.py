@@ -270,7 +270,10 @@ class Predictor:
                 mean,
                 scale,
             )[: len(seg_starts)]
-            # async dispatch: host prepares segment k+1 while k computes
+            # async dispatch: host prepares segment k+1 while k computes.
+            # Deeper pipelining is NOT a win: depth 3 measured 360.0 vs
+            # depth 1's 358.8 windows/s same-session — the tunnel already
+            # overlaps the in-flight segment's round trips
             pending.append((aligned, probs))
             if len(pending) > 1:
                 flush(*pending.pop(0))
