@@ -24,6 +24,7 @@ from stutter_tpu.models.transformer import apply_transformer, init_transformer
 from stutter_tpu.models.scaler import LabelEncoder
 from stutter_tpu.train.seq_trainer import (
     SeqTrainConfig,
+    balanced_row_weights,
     predict_sequence_model,
     prepare_sequence_dataset,
     standardize_sequences,
@@ -180,9 +181,15 @@ def cross_validate_seq(
     seeds = np.zeros(G, np.int32)
     for k, (tr, _) in enumerate(folds):
         _, mean, std = standardize_sequences(X[tr], nv[tr])
+        # cfg.class_balanced: inverse-frequency sampling weights instead of
+        # uniform fold membership (the sampler normalizes either way)
+        row_w = (
+            balanced_row_weights(y[tr], n_classes)
+            if train_cfg.class_balanced else 1.0
+        )
         for s in range(n_seeds):
             g = k * n_seeds + s
-            w[g, tr] = 1.0
+            w[g, tr] = row_w
             mean_g[g], std_g[g] = mean, std
             seeds[g] = train_cfg.seed + s
     n_train = max(len(tr) for tr, _ in folds)

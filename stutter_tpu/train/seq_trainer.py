@@ -34,6 +34,25 @@ class SeqTrainConfig:
     time_masks: int = 0  # SpecAugment: number of time masks
     time_width: int = 24  # max width (frames) of each time mask
     mixup_alpha: float = 0.0  # Beta(alpha, alpha) convex mixing of pairs
+    # inverse-class-frequency minibatch sampling: each class contributes an
+    # equal expected share of every batch (the corpus is 523/201/181 —
+    # syllable repetition is the weak class in every confusion matrix, ours
+    # AND the reference's, ref confusion_after_SVM.csv).  Rides the existing
+    # weighted row sampler (the [G, N] fold weights / the choice() p below),
+    # so the loss/targets are untouched.
+    class_balanced: bool = False
+
+
+def balanced_row_weights(y_rows: np.ndarray, n_classes: int) -> np.ndarray:
+    """Inverse-class-frequency sampling weights for one train split: class c's
+    rows get n_rows / (n_classes * count_c), so every class contributes an
+    equal expected share of each sampled minibatch (sklearn's
+    class_weight='balanced' formula, applied to SAMPLING instead of the
+    loss).  Mean weight is 1 over the split, matching the unweighted case's
+    total mass."""
+    counts = np.bincount(y_rows, minlength=n_classes).astype(np.float64)
+    counts = np.maximum(counts, 1.0)  # absent classes cannot divide by zero
+    return (len(y_rows) / (n_classes * counts[y_rows])).astype(np.float32)
 
 
 def _spec_augment(rng, xb, nv, cfg: "SeqTrainConfig"):
@@ -180,6 +199,12 @@ def train_sequence_model(
     nvd = jnp.asarray(n_valid)
     yd = jnp.asarray(y)
     ysd = None if y_soft is None else jnp.asarray(y_soft, jnp.float32)
+    # cfg.class_balanced: inverse-frequency minibatch sampling (same knob the
+    # grid trainer applies through its [G, N] weights)
+    p_sel = (
+        jnp.asarray(balanced_row_weights(np.asarray(y), n_classes) / N)
+        if cfg.class_balanced else None
+    )
 
     def loss_fn(params, xb, mb, targets):
         logits = apply_fn(params, xb, mb)
@@ -188,7 +213,7 @@ def train_sequence_model(
     def train_step(carry, step_rng):
         params, opt_state = carry
         sel_rng, aug_rng, noise_rng, mix_rng = jax.random.split(step_rng, 4)
-        idx = jax.random.choice(sel_rng, N, (cfg.batch_size,))
+        idx = jax.random.choice(sel_rng, N, (cfg.batch_size,), p=p_sel)
         xb, yb = Xd[idx], yd[idx]
         nvb = nvd[idx]
         mb = jnp.arange(T)[None, :] < nvb[:, None]

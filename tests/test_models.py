@@ -354,3 +354,78 @@ def test_seq_grid_soft_targets_drive_the_loss(rng):
         np.ones((1, D), np.float32),
     )[0]
     assert (probs.argmax(-1) == (1 - y)).mean() > 0.9
+
+
+def test_balanced_row_weights_equalize_class_mass(rng, monkeypatch):
+    """class_balanced knob: inverse-frequency sampling weights give every
+    class an equal expected share of each minibatch (mean weight 1, the
+    unweighted sampler's total mass); the single-model trainer's sampler
+    learns the minority class of a 4:1 imbalanced problem under the flag;
+    and cross_validate_seq builds exactly these weights per fold entry."""
+    from stutter_tpu.train.seq_trainer import SeqTrainConfig, balanced_row_weights
+
+    y = np.array([0] * 80 + [1] * 15 + [2] * 5)
+    w = balanced_row_weights(y, 3)
+    # per-class total mass equal -> equal expected share under choice(p=w/sum)
+    masses = [w[y == c].sum() for c in range(3)]
+    np.testing.assert_allclose(masses, masses[0], rtol=1e-6)
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-6)
+    # a class absent from the split must not blow up (guarded divide)
+    w2 = balanced_row_weights(np.zeros(8, np.int64), 3)
+    assert np.isfinite(w2).all() and w2.sum() > 0
+
+    # the single-model trainer (production refits) samples by p=w/N under the
+    # flag and still learns BOTH classes of a 4:1 imbalanced separable set
+    from stutter_tpu.train.seq_trainer import (
+        predict_sequence_model,
+        train_sequence_model,
+    )
+
+    n, T, D = 120, 16, 8
+    y_im = np.array([0] * 96 + [1] * 24)[rng.permutation(120)]
+    X = (rng.randn(n, T, D) * 0.1 + y_im[:, None, None] * 0.8).astype(np.float32)
+    nv = np.full(n, T, np.int32)
+    params = train_sequence_model(
+        init_cnn_bilstm, apply_cnn_bilstm, X, nv, y_im, 2,
+        SeqTrainConfig(epochs=20, batch_size=32, class_balanced=True),
+        {"in_dim": D, "conv_channels": (8,), "lstm_dim": 8, "n_classes": 2},
+    )
+    proba = predict_sequence_model(apply_cnn_bilstm, params, X, nv)
+    for c in (0, 1):
+        assert (proba.argmax(-1)[y_im == c] == c).mean() > 0.8, c
+
+    # wiring: cross_validate_seq under the flag hands the grid trainer
+    # balanced weights on each fold's train rows (zero elsewhere) — captured
+    # via stubbed grid fns, no training (the heavy e2e lives in -m slow)
+    from stutter_tpu.train import seq_pipeline, seq_trainer
+
+    n2, T2, D2, C = 12, 6, 4, 3
+    X2 = rng.randn(n2, T2, D2).astype(np.float32)
+    y2 = np.array([0] * 6 + [1] * 4 + [2] * 2)
+    folds = [(np.arange(6, 12), np.arange(6)), (np.arange(6), np.arange(6, 12))]
+    monkeypatch.setattr(
+        seq_pipeline, "prepare_sequence_dataset",
+        lambda c, kind: (X2, np.full(n2, T2, np.int32)),
+    )
+    seen_w = []
+    monkeypatch.setattr(
+        seq_trainer, "train_seq_grid",
+        lambda *a, **k: seen_w.append(np.asarray(a[3]))
+        or {"dummy": jnp.zeros((a[3].shape[0], 1))},
+    )
+    monkeypatch.setattr(
+        seq_trainer, "predict_seq_grid",
+        lambda apply_fn, params, Xv, nvv, mean, std, batch=64:
+        np.full((mean.shape[0], n2, C), 1.0 / C, np.float32),
+    )
+    seq_pipeline.cross_validate_seq(
+        "cnn_bilstm", [np.zeros(64, np.float32)] * n2, y2, folds, C,
+        SeqTrainConfig(epochs=1, batch_size=4, class_balanced=True), n_seeds=2,
+    )
+    w_got = np.concatenate(seen_w, axis=0)  # [G=4, n2]
+    assert w_got.shape == (4, n2)
+    for k, (tr, te) in enumerate(folds):
+        expect = np.zeros(n2, np.float32)
+        expect[tr] = balanced_row_weights(y2[tr], C)
+        for s in range(2):  # both seeds of this fold carry the same weights
+            np.testing.assert_allclose(w_got[k * 2 + s], expect, rtol=1e-6)
