@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
                         "each seq head + the vote with start/end-cropped "
                         "views of this many frames averaged in (extra +TTA "
                         "rows; artifacts stay baseline)")
+    p.add_argument("--seq-balanced", action="store_true",
+                   help="train sequence members with inverse-class-frequency "
+                        "minibatch sampling — a macro-recall knob (syllable-"
+                        "rep recall 43->54 on the CNN) that TRADES plain CV "
+                        "accuracy away; not the production default "
+                        "(docs/experiments_r5.md)")
     p.add_argument("--seq-raw-arch", action="append", default=[],
                    choices=["cnn", "cnn_bilstm", "transformer",
                             "transformer_lr1e3", "transformer_mix4_lr1e3"],
@@ -174,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
                      labels_taxonomy=args.labels, seq_seeds=args.seq_seeds,
                      ensemble_mlp=args.ensemble_mlp,
                      seq_tta_crops=(args.seq_tta_crop,) if args.seq_tta_crop else (),
-                     seq_raw_archs=tuple(args.seq_raw_arch))
+                     seq_raw_archs=tuple(args.seq_raw_arch),
+                     seq_class_balanced=args.seq_balanced)
         for row in res["final_rows"]:
             print(
                 f'{row["Model"]:14s} acc={row["Accuracy (%)"]:.1f}% '

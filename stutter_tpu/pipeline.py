@@ -448,6 +448,7 @@ def run_cv(
                         "transformer_mix4_lr1e3"),
     seq_tta_crops: tuple = (),
     seq_raw_archs: tuple = (),
+    seq_class_balanced: bool = False,
 ) -> dict:
     """Engine B: 5-fold CV production table (ref: main.py:872-1006).
 
@@ -482,7 +483,11 @@ def run_cv(
     the gate altered.  Probe-only: raw members join the weight search but
     are not persisted for serving (run probes in a scratch workspace).
     Artifacts (ensemble.json, refit heads) always follow the baseline
-    protocol — TTA is an experiment knob, not the production path."""
+    protocol — TTA is an experiment knob, not the production path.
+    seq_class_balanced: train every sequence member (and its refit) with
+    inverse-class-frequency minibatch sampling — a macro-recall knob, NOT
+    the production default (it trades plain CV accuracy away; cnn 71.5 ->
+    68.6 but syllable-rep recall 43 -> 54, docs/experiments_r5.md)."""
     from stutter_tpu import persist
 
     out_dir = os.path.join(root, cfg.data.output_dir)
@@ -584,9 +589,17 @@ def run_cv(
         seq_folds = stratified_kfold(y_seq, cfg.train.n_folds, cfg.train.seed)
         seq_probas: dict[str, np.ndarray] = {}
         seq_probas_tta: dict[str, np.ndarray] = {}
+        def arch_cfg(arch):
+            tc = default_train_cfg(arch, seq_epochs)
+            if seq_class_balanced:
+                import dataclasses
+
+                tc = dataclasses.replace(tc, class_balanced=True)
+            return tc
+
         for arch in seq_archs:
             t0 = time.time()
-            seq_tc = default_train_cfg(arch, seq_epochs)
+            seq_tc = arch_cfg(arch)
             vp: list | None = [] if seq_tta_crops else None
             pred_s, proba_s = cross_validate_seq(
                 arch, clips, y_seq, seq_folds, len(class_names), seq_tc,
@@ -625,7 +638,7 @@ def run_cv(
                 t0 = time.time()
                 _, proba_r = cross_validate_seq(
                     arch, raw_clips, y_seq, seq_folds, len(class_names),
-                    default_train_cfg(arch, seq_epochs), n_seeds=seq_seeds,
+                    arch_cfg(arch), n_seeds=seq_seeds,
                 )
                 seq_probas[f"{arch}_raw"] = proba_r
                 final_rows.append(
@@ -719,7 +732,7 @@ def run_cv(
         t0 = time.time()
         for arch in seq_archs:
             params_a, mean_a, std_a = fit_seq_head(
-                arch, clips, y_seq, len(class_names), default_train_cfg(arch, seq_epochs)
+                arch, clips, y_seq, len(class_names), arch_cfg(arch)
             )
             persist_seq_head(out_dir, arch, params_a, mean_a, std_a, class_names)
         if ensemble_mlp != "none":
